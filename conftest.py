@@ -1,0 +1,19 @@
+"""Pytest config: force an 8-virtual-device CPU platform for tests.
+
+Tests exercise multi-chip sharding on an emulated mesh per the build plan
+(SURVEY.md §4): XLA_FLAGS=--xla_force_host_platform_device_count=8.
+
+Note: this container's sitecustomize imports jax and registers the axon/TPU
+PJRT plugin at interpreter start, so env vars set here are too late —
+override via jax.config instead (safe as long as no computation ran yet).
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

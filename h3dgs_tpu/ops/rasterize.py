@@ -1,0 +1,192 @@
+"""Tiled differentiable rasterization (XLA path).
+
+Per-tile front-to-back alpha blending, re-designed for TPU:
+
+  * The CUDA kernel walks Gaussians sequentially per pixel-thread with an
+    early-out. Here each tile consumes its depth-sorted entry list in chunks
+    of G Gaussians; within a chunk the sequential transmittance recurrence
+    becomes a log-space cumulative sum (alpha <= 0.99 keeps it well
+    conditioned), and the color accumulation becomes a [G,P] x [G,3] matmul
+    — VPU/MXU work instead of a serial loop.
+  * Termination: transmittance is monotone non-increasing, so the CUDA rule
+    "skip Gaussian k and stop once T*(1-alpha_k) < 1e-4" is exactly
+    "contribute iff T_incl_k >= 1e-4 and not already terminated" — a mask,
+    not control flow.
+  * The chunk loop is a lax.scan with a rematerialized body, so the backward
+    pass re-walks each chunk instead of saving [T,G,P] intermediates — the
+    same strategy as the CUDA backward's per-tile re-traversal.
+
+Semantics (alpha clamp 0.99, skip power>0 / alpha<1/255, T epsilon 1e-4,
+background composited with residual T) match the reference rasterizer
+contract (/root/reference/gaussian_renderer/__init__.py:105-135) and are
+verified against ops.reference in tests.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..scene.camera import Camera
+from .binning import TILE, BinnedGaussians, bin_gaussians, num_tiles
+from .projection import ProjectedGaussians, project_gaussians
+
+ALPHA_EPS = 1.0 / 255.0
+TRANSMITTANCE_EPS = 1e-4
+ALPHA_MAX = 0.99
+
+
+class RasterizeConfig(NamedTuple):
+    tile: int = TILE
+    max_entries: int = 1 << 20      # duplication budget D
+    max_per_tile: int = 1024        # per-tile blend depth cap K
+    chunk: int = 32                 # Gaussians blended per scan step G
+    remat: bool = True
+
+
+def _tile_pixel_grid(tiles_y, tiles_x, tile, dtype):
+    """Pixel coordinates per tile: ([T, P], [T, P]) for P = tile*tile."""
+    ty = jnp.arange(tiles_y)
+    tx = jnp.arange(tiles_x)
+    oy = (ty[:, None] * tile + jnp.zeros((tiles_x,), jnp.int32)[None, :]).reshape(-1)
+    ox = (jnp.zeros((tiles_y,), jnp.int32)[:, None] * tile + tx[None, :] * tile).reshape(-1)
+    ly = jnp.arange(tile)
+    lx = jnp.arange(tile)
+    py_local, px_local = jnp.meshgrid(ly, lx, indexing="ij")
+    px = (ox[:, None] + px_local.reshape(-1)[None, :]).astype(dtype)
+    py = (oy[:, None] + py_local.reshape(-1)[None, :]).astype(dtype)
+    return px, py
+
+
+def blend_tiles(proj: ProjectedGaussians, binned: BinnedGaussians,
+                height: int, width: int, bg_color: jnp.ndarray,
+                config: RasterizeConfig = RasterizeConfig()):
+    """Blend sorted entries into an image.
+
+    Returns (rgb [3,H,W], invdepth [1,H,W], final_T [H,W]).
+    """
+    tile = config.tile
+    tiles_y, tiles_x = num_tiles(height, width, tile)
+    n_tiles = tiles_y * tiles_x
+    p = tile * tile
+    g = config.chunk
+    k = config.max_per_tile
+    n_chunks = -(-k // g)
+    d = binned.gauss_idx.shape[0]
+
+    dtype = proj.means2d.dtype
+    px, py = _tile_pixel_grid(tiles_y, tiles_x, tile, dtype)  # [T, P]
+
+    inv_depth_g = 1.0 / jnp.maximum(proj.depth, 1e-6)
+
+    def body(carry, chunk_idx):
+        color, invd, trans, term = carry
+        ks = chunk_idx * g + jnp.arange(g)                    # [G]
+        idx = binned.tile_start[:, None] + ks[None, :]        # [T, G]
+        in_range = ks[None, :] < jnp.minimum(binned.tile_count, k)[:, None]
+        idx = jnp.clip(idx, 0, d - 1)
+        gi = binned.gauss_idx[idx]                            # [T, G]
+
+        mean = proj.means2d[gi]                               # [T, G, 2]
+        con = proj.conic[gi]                                  # [T, G, 3]
+        rgb = proj.rgb[gi]                                    # [T, G, 3]
+        opac = proj.opacity[gi]                               # [T, G]
+        invdg = inv_depth_g[gi]                               # [T, G]
+
+        dx = px[:, None, :] - mean[..., 0:1]                  # [T, G, P]
+        dy = py[:, None, :] - mean[..., 1:2]
+        power = (-0.5 * (con[..., 0:1] * dx * dx + con[..., 2:3] * dy * dy)
+                 - con[..., 1:2] * dx * dy)
+        alpha = jnp.minimum(ALPHA_MAX, opac[..., None] * jnp.exp(power))
+        ok = in_range[..., None] & (power <= 0.0) & (alpha >= ALPHA_EPS)
+        alpha = jnp.where(ok, alpha, 0.0)
+
+        one_minus = 1.0 - alpha
+        log_om = jnp.log(jnp.maximum(one_minus, 1e-12))
+        cum_incl = jnp.cumsum(log_om, axis=1)                 # [T, G, P]
+        t_incl = trans[:, None, :] * jnp.exp(cum_incl)
+        t_excl = trans[:, None, :] * jnp.exp(cum_incl - log_om)
+
+        # t_incl is monotone non-increasing within the chunk, so "terminated
+        # at or before k" == "t_incl_k < eps"; carry `term` across chunks
+        # because the frozen T can itself sit above eps.
+        live = (~term[:, None, :]) & (t_incl >= TRANSMITTANCE_EPS)
+        contrib = jnp.where(live, alpha * t_excl, 0.0)        # [T, G, P]
+
+        # f32 accumulation: the TPU MXU would otherwise round the inputs
+        # to bf16, which visibly shifts the blended image.
+        color = color + jnp.einsum("tgp,tgc->tpc", contrib, rgb,
+                                   precision=jax.lax.Precision.HIGHEST)
+        invd = invd + jnp.einsum("tgp,tg->tp", contrib, invdg,
+                                 precision=jax.lax.Precision.HIGHEST)
+        trans = trans * jnp.exp(jnp.sum(jnp.where(live, log_om, 0.0), axis=1))
+        term = term | (t_incl[:, -1, :] < TRANSMITTANCE_EPS)
+        return (color, invd, trans, term), None
+
+    if config.remat:
+        body = jax.checkpoint(body)
+
+    init = (jnp.zeros((n_tiles, p, 3), dtype),
+            jnp.zeros((n_tiles, p), dtype),
+            jnp.ones((n_tiles, p), dtype),
+            jnp.zeros((n_tiles, p), bool))
+    (color, invd, trans, _term), _ = jax.lax.scan(
+        body, init, jnp.arange(n_chunks, dtype=jnp.int32))
+
+    color = color + trans[..., None] * bg_color[None, None, :]
+
+    def untile(t_p_c, channels):
+        img = t_p_c.reshape(tiles_y, tiles_x, tile, tile, channels)
+        img = img.transpose(4, 0, 2, 1, 3).reshape(
+            channels, tiles_y * tile, tiles_x * tile)
+        return img[:, :height, :width]
+
+    image = untile(color, 3)
+    invdepth = untile(invd[..., None], 1)
+    final_t = untile(trans[..., None], 1)[0]
+    # Defensive: on the axon TPU backend, fusing this tiled-transpose output
+    # elementwise with a captured constant miscompiles (observed: image vs
+    # constant-target MSE wrong by 0.07 while the returned image is correct).
+    # The barrier forces materialization; cost is negligible vs the blend.
+    image, invdepth, final_t = jax.lax.optimization_barrier(
+        (image, invdepth, final_t))
+    return image, invdepth, final_t
+
+
+def rasterize(
+    means3d, scales, quats, opacities, shs, camera: Camera, sh_degree: int,
+    bg_color, scale_modifier: float = 1.0,
+    colors_precomp: Optional[jnp.ndarray] = None,
+    means2d_offset: Optional[jnp.ndarray] = None,
+    config: RasterizeConfig = RasterizeConfig(),
+):
+    """Full differentiable rasterization pass.
+
+    ``means2d_offset`` is a zeros [N, 2] tensor added to the projected
+    screen-space means; differentiating w.r.t. it yields the screen-space
+    positional gradients that drive densification (the reference's
+    ``screenspace_points`` trick, gaussian_renderer/__init__.py:28-33).
+
+    Returns a dict: render [3,H,W], invdepth [1,H,W], final_transmittance
+    [H,W], radii [N], visibility_filter [N] bool, n_duplicates [] int.
+    """
+    proj = project_gaussians(means3d, scales, quats, opacities, shs, camera,
+                             sh_degree, scale_modifier,
+                             colors_precomp=colors_precomp)
+    if means2d_offset is not None:
+        proj = proj._replace(means2d=proj.means2d + means2d_offset)
+    binned = bin_gaussians(proj, camera.height, camera.width,
+                           config.max_entries, config.tile)
+    image, invdepth, final_t = blend_tiles(
+        proj, binned, camera.height, camera.width, jnp.asarray(bg_color),
+        config)
+    return {
+        "render": image,
+        "invdepth": invdepth,
+        "final_transmittance": final_t,
+        "radii": proj.radius,
+        "visibility_filter": proj.radius > 0,
+        "n_duplicates": binned.total_entries,
+    }

@@ -1,0 +1,82 @@
+"""Photometric losses: L1 and windowed SSIM (jit-friendly).
+
+SSIM uses the standard 11x11 Gaussian window with sigma=1.5, C1=0.01^2,
+C2=0.03^2 and SAME padding, matching the semantics of the reference
+implementation (/root/reference/utils/loss_utils.py:23-63). Implemented as
+two separable depthwise convolutions so XLA can map them onto the TPU
+convolution units instead of a dense 2D conv per channel.
+
+Images are ``[3, H, W]`` float (the training-loop layout) or ``[..., 3, H, W]``.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def l1_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(jnp.abs(pred - target))
+
+
+def l2_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean((pred - target) ** 2)
+
+
+def psnr(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    mse = jnp.mean((pred - target) ** 2)
+    return -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
+
+
+@functools.lru_cache(maxsize=4)
+def _gaussian_window(window_size: int, sigma: float):
+    xs = [math.exp(-((x - window_size // 2) ** 2) / (2.0 * sigma ** 2))
+          for x in range(window_size)]
+    total = sum(xs)
+    return tuple(x / total for x in xs)
+
+
+def _blur(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
+    """Separable Gaussian blur with SAME padding. img: [C, H, W]."""
+    c = img.shape[0]
+    x = img[None]  # [1, C, H, W]
+    kh = window.reshape(1, 1, -1, 1)
+    kv = window.reshape(1, 1, 1, -1)
+    dn = jax.lax.conv_dimension_numbers(x.shape, (1, 1, 1, 1), ("NCHW", "OIHW", "NCHW"))
+    x = jax.lax.conv_general_dilated(
+        x, jnp.tile(kh, (c, 1, 1, 1)), (1, 1), "SAME",
+        dimension_numbers=dn, feature_group_count=c)
+    x = jax.lax.conv_general_dilated(
+        x, jnp.tile(kv, (c, 1, 1, 1)), (1, 1), "SAME",
+        dimension_numbers=dn, feature_group_count=c)
+    return x[0]
+
+
+def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
+         sigma: float = 1.5) -> jnp.ndarray:
+    """Mean SSIM over a [3, H, W] image pair."""
+    window = jnp.asarray(_gaussian_window(window_size, sigma), dtype=img1.dtype)
+    c1 = 0.01 ** 2
+    c2 = 0.03 ** 2
+
+    mu1 = _blur(img1, window)
+    mu2 = _blur(img2, window)
+    mu1_sq = mu1 * mu1
+    mu2_sq = mu2 * mu2
+    mu1_mu2 = mu1 * mu2
+    sigma1_sq = _blur(img1 * img1, window) - mu1_sq
+    sigma2_sq = _blur(img2 * img2, window) - mu2_sq
+    sigma12 = _blur(img1 * img2, window) - mu1_mu2
+
+    ssim_map = (((2.0 * mu1_mu2 + c1) * (2.0 * sigma12 + c2))
+                / ((mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)))
+    return jnp.mean(ssim_map)
+
+
+def photometric_loss(pred: jnp.ndarray, target: jnp.ndarray,
+                     lambda_dssim: float = 0.2) -> jnp.ndarray:
+    """(1-l)*L1 + l*(1-SSIM), the reference's photo loss (train_single.py:106-108)."""
+    return ((1.0 - lambda_dssim) * l1_loss(pred, target)
+            + lambda_dssim * (1.0 - ssim(pred, target)))

@@ -1,0 +1,81 @@
+"""Real spherical-harmonics color evaluation, degrees 0..3.
+
+Layout: SH coefficients are ``[..., K, 3]`` (coefficient-major, channel-last)
+which matches the hierarchy storage format (reference ``load_hierarchy``
+returns shs_all[N,16,3]; cf. /root/reference/scene/gaussian_model.py:329 and
+utils/sh_utils.py:57-112 for the basis constants, which are the standard
+real-SH normalization constants).
+
+The view-dependent color the renderer consumes is
+``max(eval_sh(deg, sh, dir) + 0.5, 0)`` — the +0.5 offset and clamp match the
+reference renderer (gaussian_renderer/__init__.py:89).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+SH_C0 = 0.28209479177387814
+SH_C1 = 0.4886025119029199
+SH_C2 = (1.0925484305920792, -1.0925484305920792, 0.31539156525252005,
+         -1.0925484305920792, 0.5462742152960396)
+SH_C3 = (-0.5900435899266435, 2.890611442640554, -0.4570457994644658,
+         0.3731763325901154, -0.4570457994644658, 1.445305721320277,
+         -0.5900435899266435)
+
+
+def num_sh_coeffs(degree: int) -> int:
+    return (degree + 1) ** 2
+
+
+def eval_sh(degree: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
+    """Evaluate SH at unit directions.
+
+    Args:
+      degree: static int in [0, 3]; only the first (degree+1)^2 coefficients
+        are read.
+      sh: [..., K, 3] with K >= (degree+1)^2.
+      dirs: [..., 3] unit directions (gaussian center - camera center,
+        normalized).
+
+    Returns:
+      [..., 3] raw SH color (before the +0.5 offset / clamp).
+    """
+    if not (0 <= degree <= 3):
+        raise ValueError(f"unsupported SH degree {degree}")
+    result = SH_C0 * sh[..., 0, :]
+    if degree >= 1:
+        x = dirs[..., 0:1]
+        y = dirs[..., 1:2]
+        z = dirs[..., 2:3]
+        result = (result
+                  - SH_C1 * y * sh[..., 1, :]
+                  + SH_C1 * z * sh[..., 2, :]
+                  - SH_C1 * x * sh[..., 3, :])
+    if degree >= 2:
+        xx, yy, zz = x * x, y * y, z * z
+        xy, yz, xz = x * y, y * z, x * z
+        result = (result
+                  + SH_C2[0] * xy * sh[..., 4, :]
+                  + SH_C2[1] * yz * sh[..., 5, :]
+                  + SH_C2[2] * (2.0 * zz - xx - yy) * sh[..., 6, :]
+                  + SH_C2[3] * xz * sh[..., 7, :]
+                  + SH_C2[4] * (xx - yy) * sh[..., 8, :])
+    if degree >= 3:
+        result = (result
+                  + SH_C3[0] * y * (3.0 * xx - yy) * sh[..., 9, :]
+                  + SH_C3[1] * xy * z * sh[..., 10, :]
+                  + SH_C3[2] * y * (4.0 * zz - xx - yy) * sh[..., 11, :]
+                  + SH_C3[3] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy) * sh[..., 12, :]
+                  + SH_C3[4] * x * (4.0 * zz - xx - yy) * sh[..., 13, :]
+                  + SH_C3[5] * z * (xx - yy) * sh[..., 14, :]
+                  + SH_C3[6] * x * (xx - 3.0 * yy) * sh[..., 15, :])
+    return result
+
+
+def rgb_to_sh(rgb):
+    """DC coefficient from an RGB albedo (reference sh_utils.py:114)."""
+    return (rgb - 0.5) / SH_C0
+
+
+def sh_to_rgb(sh):
+    return sh * SH_C0 + 0.5

@@ -1,0 +1,154 @@
+"""Kernel parity: tiled XLA rasterizer vs. brute-force oracle.
+
+The oracle (ops/reference.py) implements exact per-pixel front-to-back
+blending with CUDA-rasterizer semantics; the production tiled path must
+match it in both outputs and gradients (SURVEY.md §4 test pyramid, level 2).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from h3dgs_tpu.ops import rasterize as R
+from h3dgs_tpu.ops import reference as ref
+from h3dgs_tpu.ops.binning import bin_gaussians
+from h3dgs_tpu.ops.projection import project_gaussians
+
+from .utils import random_scene, make_test_camera
+
+CFG = R.RasterizeConfig(max_entries=1 << 16, max_per_tile=512, chunk=16)
+
+
+def _render_both(n=60, seed=0, sh_degree=1, bg=(0.0, 0.0, 0.0), **scene_kw):
+    means, scales, quats, opac, shs = random_scene(n, seed, sh_degree,
+                                                   **scene_kw)
+    cam = make_test_camera()
+    bg = jnp.asarray(bg, jnp.float32)
+    out_ref = ref.render_reference(means, scales, quats, opac, shs, cam,
+                                   sh_degree, bg)
+    out_fast = R.rasterize(means, scales, quats, opac, shs, cam, sh_degree,
+                           bg, config=CFG)
+    return out_ref, out_fast
+
+
+def _assert_images_match(img_fast, img_ref, atol=3e-5, flip_budget=0.005,
+                         flip_atol=0.05):
+    """Allclose except for rare termination-threshold flips.
+
+    Pixels whose transmittance lands within f32 noise of the 1e-4
+    termination epsilon can legitimately terminate one Gaussian earlier or
+    later depending on summation order (the CUDA kernel differs from both
+    JAX paths the same way); allow a small budget of such pixels.
+    """
+    img_fast = np.asarray(img_fast)
+    img_ref = np.asarray(img_ref)
+    diff = np.abs(img_fast - img_ref).max(axis=0)
+    assert diff.max() <= flip_atol, f"max pixel diff {diff.max()}"
+    frac = (diff > atol).mean()
+    assert frac <= flip_budget, f"{frac:.2%} pixels differ by more than {atol}"
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("bg", [(0.0, 0.0, 0.0), (1.0, 1.0, 1.0)])
+def test_forward_matches_oracle(seed, bg):
+    out_ref, out_fast = _render_both(seed=seed, bg=bg)
+    _assert_images_match(out_fast["render"], out_ref["render"])
+    _assert_images_match(out_fast["invdepth"], out_ref["invdepth"])
+    np.testing.assert_array_equal(out_fast["radii"], out_ref["radii"])
+
+
+def test_forward_dense_overdraw():
+    """Many overlapping opaque splats exercise the termination path."""
+    out_ref, out_fast = _render_both(n=200, seed=3, spread=0.3,
+                                     opacity_hi=0.999, scale_hi=0.4)
+    _assert_images_match(out_fast["render"], out_ref["render"],
+                         flip_budget=0.01)
+
+
+def test_gradients_match_oracle():
+    means, scales, quats, opac, shs = random_scene(40, 7, 1)
+    cam = make_test_camera(width=32, height=32)
+    bg = jnp.zeros(3, jnp.float32)
+    target = jnp.ones((3, cam.height, cam.width), jnp.float32) * 0.5
+
+    def loss_ref(params):
+        out = ref.render_reference(*params, cam, 1, bg)
+        return jnp.mean((out["render"] - target) ** 2)
+
+    def loss_fast(params):
+        out = R.rasterize(*params, cam, 1, bg, config=CFG)
+        return jnp.mean((out["render"] - target) ** 2)
+
+    params = (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+              jnp.asarray(opac), jnp.asarray(shs))
+    g_ref = jax.grad(loss_ref)(params)
+    g_fast = jax.grad(loss_fast)(params)
+    for a, b, name in zip(g_fast, g_ref,
+                          ["means", "scales", "quats", "opac", "shs"]):
+        a, b = np.asarray(a), np.asarray(b)
+        close = np.isclose(a, b, atol=3e-5, rtol=5e-3)
+        # Termination-threshold flips may perturb a few elements (see
+        # _assert_images_match); cap both the count and the damage.
+        assert close.mean() >= 0.99, f"grad mismatch: {name}"
+        assert np.abs(a - b).max() < 5e-4, f"grad blowup: {name}"
+
+
+def test_screenspace_gradient_channel():
+    """means2d_offset carries the densification gradient signal."""
+    means, scales, quats, opac, shs = random_scene(30, 11, 1)
+    cam = make_test_camera(width=32, height=32)
+    bg = jnp.zeros(3, jnp.float32)
+    offset = jnp.zeros((30, 2), jnp.float32)
+
+    def loss(off):
+        out = R.rasterize(means, scales, quats, opac, shs, cam, 1, bg,
+                          means2d_offset=off, config=CFG)
+        return jnp.mean(out["render"] ** 2)
+
+    g = jax.grad(loss)(offset)
+    assert g.shape == (30, 2)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).sum() > 0.0
+
+
+def test_binning_counts_are_exact():
+    """Every (gaussian, covered tile) pair appears exactly once."""
+    means, scales, quats, opac, shs = random_scene(50, 5, 0)
+    cam = make_test_camera(width=64, height=48)
+    proj = project_gaussians(jnp.asarray(means), jnp.asarray(scales),
+                             jnp.asarray(quats), jnp.asarray(opac),
+                             jnp.asarray(shs), cam, 0)
+    binned = bin_gaussians(proj, cam.height, cam.width, max_entries=1 << 16)
+    proj_np = jax.tree.map(np.asarray, proj)
+
+    # Brute-force expected pairs.
+    tiles_x = -(-cam.width // 16)
+    tiles_y = -(-cam.height // 16)
+    expected = set()
+    for i in range(50):
+        if not proj_np.valid[i] or proj_np.radius[i] <= 0:
+            continue
+        x, y, r = proj_np.means2d[i][0], proj_np.means2d[i][1], proj_np.radius[i]
+        x0 = min(max(int((x - r) / 16), 0), tiles_x)
+        y0 = min(max(int((y - r) / 16), 0), tiles_y)
+        x1 = min(max(int((x + r + 15) / 16), 0), tiles_x)
+        y1 = min(max(int((y + r + 15) / 16), 0), tiles_y)
+        for tyy in range(y0, y1):
+            for txx in range(x0, x1):
+                expected.add((i, tyy * tiles_x + txx))
+
+    got = set()
+    gauss = np.asarray(binned.gauss_idx)
+    start = np.asarray(binned.tile_start)
+    count = np.asarray(binned.tile_count)
+    for t in range(tiles_y * tiles_x):
+        for e in range(start[t], start[t] + count[t]):
+            got.add((int(gauss[e]), t))
+    assert got == expected
+    assert int(binned.total_entries) == len(expected)
+
+    # Depth-sorted within each tile.
+    depth = proj_np.depth
+    for t in range(tiles_y * tiles_x):
+        ds = [depth[gauss[e]] for e in range(start[t], start[t] + count[t])]
+        assert all(ds[i] <= ds[i + 1] for i in range(len(ds) - 1))
