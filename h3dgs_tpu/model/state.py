@@ -1,0 +1,161 @@
+"""GaussianState: fixed-capacity parameter store for a Gaussian scene.
+
+TPU re-design of the reference's GaussianModel
+(/root/reference/scene/gaussian_model.py:27-287): instead of torch tensors
+that grow/shrink with optimizer-state surgery, parameters live in arrays of
+static capacity with an ``alive`` mask. Densify/clone/split/prune write into
+free slots (see model/densify.py), so the whole training step stays inside
+one jit with static shapes.
+
+Row-layout conventions (kept for parity with the reference's locking rules):
+  * flat training (coarse/single): skybox rows FIRST, then scaffold rows,
+    then scene Gaussians (gaussian_model.py:169-247).
+  * hierarchy fine-tuning (post): skybox rows LAST (train_post.py:167-174),
+    and opacity activation switches to |x| (gaussian_model.py:393-394).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.transforms import inverse_sigmoid
+
+SH_REST = 15  # storage always holds degree-3 coefficients (1 + 15)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class GaussianState:
+    """All arrays have leading dim = capacity C; dead rows are masked."""
+    xyz: jax.Array            # [C, 3]
+    features_dc: jax.Array    # [C, 1, 3]
+    features_rest: jax.Array  # [C, 15, 3]
+    scaling: jax.Array        # [C, 3] log-scale
+    rotation: jax.Array       # [C, 4] (w, x, y, z), unnormalized
+    opacity: jax.Array        # [C, 1] pre-activation
+    alive: jax.Array          # [C] bool
+
+    # Densification statistics (reference gaussian_model.py:58-60,687-689).
+    max_radii2d: jax.Array       # [C] f32
+    xyz_gradient_accum: jax.Array  # [C] f32, max screen-grad norm
+    denom: jax.Array             # [C] f32
+
+    # Static metadata.
+    max_sh_degree: int = dataclasses.field(metadata=dict(static=True), default=3)
+    opacity_abs: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    n_skybox: int = dataclasses.field(metadata=dict(static=True), default=0)
+    n_scaffold: int = dataclasses.field(metadata=dict(static=True), default=0)
+    skybox_last: bool = dataclasses.field(metadata=dict(static=True), default=False)
+
+    @property
+    def capacity(self) -> int:
+        return self.xyz.shape[0]
+
+    @property
+    def n_alive(self):
+        return jnp.sum(self.alive.astype(jnp.int32))
+
+    # --- activations (gaussian_model.py:29-44) ---
+    def get_scaling(self):
+        return jnp.exp(self.scaling)
+
+    def get_rotation(self):
+        n = jnp.sqrt(jnp.sum(self.rotation ** 2, -1, keepdims=True) + 1e-12)
+        return self.rotation / n
+
+    def get_opacity(self):
+        raw = jnp.abs(self.opacity) if self.opacity_abs else jax.nn.sigmoid(self.opacity)
+        return jnp.where(self.alive[:, None], raw, 0.0)
+
+    def get_features(self, degree: Optional[int] = None):
+        """[C, K, 3] SH coefficients, K = (degree+1)^2."""
+        feats = jnp.concatenate([self.features_dc, self.features_rest], axis=1)
+        if degree is not None:
+            feats = feats[:, :(degree + 1) ** 2, :]
+        return feats
+
+    def trainable_dict(self):
+        """The six optimized tensors, keyed like the reference param groups."""
+        return {
+            "xyz": self.xyz,
+            "f_dc": self.features_dc,
+            "f_rest": self.features_rest,
+            "opacity": self.opacity,
+            "scaling": self.scaling,
+            "rotation": self.rotation,
+        }
+
+    def replace_trainable(self, d):
+        return dataclasses.replace(
+            self, xyz=d["xyz"], features_dc=d["f_dc"],
+            features_rest=d["f_rest"], opacity=d["opacity"],
+            scaling=d["scaling"], rotation=d["rotation"])
+
+    def locked_rows_mask(self) -> jax.Array:
+        """[C] bool: rows whose gradients are zeroed (skybox/scaffold locks).
+
+        Training flows mask these (train_single.py:162-168 locks the first
+        skybox rows; train_post.py:167-181 locks trailing skybox + anchors;
+        anchors are handled separately by the post trainer).
+        """
+        idx = jnp.arange(self.capacity)
+        locked = jnp.zeros(self.capacity, bool)
+        if self.n_skybox > 0:
+            if self.skybox_last:
+                locked = locked | (idx >= self.capacity - self.n_skybox)
+            else:
+                locked = locked | (idx < self.n_skybox)
+        return locked
+
+
+def empty_state(capacity: int, max_sh_degree: int = 3, **static_kw) -> GaussianState:
+    z = jnp.zeros
+    return GaussianState(
+        xyz=z((capacity, 3)),
+        features_dc=z((capacity, 1, 3)),
+        features_rest=z((capacity, SH_REST, 3)),
+        scaling=jnp.full((capacity, 3), -10.0),
+        rotation=jnp.tile(jnp.asarray([1.0, 0.0, 0.0, 0.0]), (capacity, 1)),
+        opacity=jnp.full((capacity, 1), -10.0),
+        alive=z((capacity,), bool),
+        max_radii2d=z((capacity,)),
+        xyz_gradient_accum=z((capacity,)),
+        denom=z((capacity,)),
+        max_sh_degree=max_sh_degree,
+        **static_kw,
+    )
+
+
+def from_arrays(xyz, features_dc, features_rest, opacity, scaling, rotation,
+                capacity: Optional[int] = None, max_sh_degree: int = 3,
+                **static_kw) -> GaussianState:
+    """Pack host arrays into a (padded) GaussianState."""
+    n = xyz.shape[0]
+    capacity = capacity or n
+    if capacity < n:
+        raise ValueError(f"capacity {capacity} < {n} points")
+    st = empty_state(capacity, max_sh_degree, **static_kw)
+    rest = np.zeros((n, SH_REST, 3), np.float32)
+    fr = np.asarray(features_rest, np.float32)
+    rest[:, :fr.shape[1], :] = fr
+    return dataclasses.replace(
+        st,
+        xyz=st.xyz.at[:n].set(jnp.asarray(xyz, jnp.float32)),
+        features_dc=st.features_dc.at[:n].set(
+            jnp.asarray(features_dc, jnp.float32).reshape(n, 1, 3)),
+        features_rest=st.features_rest.at[:n].set(rest),
+        opacity=st.opacity.at[:n].set(
+            jnp.asarray(opacity, jnp.float32).reshape(n, 1)),
+        scaling=st.scaling.at[:n].set(jnp.asarray(scaling, jnp.float32)),
+        rotation=st.rotation.at[:n].set(jnp.asarray(rotation, jnp.float32)),
+        alive=st.alive.at[:n].set(True),
+    )
+
+
+def default_opacity_init(n: int, value: float = 0.01) -> np.ndarray:
+    """Pre-activation opacity for fresh points (gaussian_model.py:199-202)."""
+    return np.asarray(inverse_sigmoid(jnp.full((n, 1), value)))
