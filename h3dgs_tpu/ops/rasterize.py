@@ -44,6 +44,11 @@ class RasterizeConfig(NamedTuple):
     max_per_tile: int = 1024        # per-tile blend depth cap K
     chunk: int = 32                 # Gaussians blended per scan step G
     remat: bool = True
+    # Mesh axis name to shard the per-tile blend over (pixels/tiles are the
+    # natural SPMD axis of splatting). Requires an ambient mesh
+    # (jax.set_mesh); Gaussian/entry arrays stay replicated and XLA inserts
+    # the psum for parameter gradients automatically.
+    shard_axis: Optional[str] = None
 
 
 def _tile_pixel_grid(tiles_y, tiles_x, tile, dtype):
@@ -78,6 +83,19 @@ def blend_tiles(proj: ProjectedGaussians, binned: BinnedGaussians,
 
     dtype = proj.means2d.dtype
     px, py = _tile_pixel_grid(tiles_y, tiles_x, tile, dtype)  # [T, P]
+
+    def shard_tiles(x, extra_dims=1):
+        if config.shard_axis is None:
+            return x
+        from jax.sharding import PartitionSpec as P
+        return jax.lax.with_sharding_constraint(
+            x, P(config.shard_axis, *([None] * extra_dims)))
+
+    px = shard_tiles(px)
+    py = shard_tiles(py)
+    tile_start = shard_tiles(binned.tile_start, extra_dims=0)
+    tile_count = shard_tiles(binned.tile_count, extra_dims=0)
+    binned = binned._replace(tile_start=tile_start, tile_count=tile_count)
 
     inv_depth_g = 1.0 / jnp.maximum(proj.depth, 1e-6)
 
@@ -128,10 +146,10 @@ def blend_tiles(proj: ProjectedGaussians, binned: BinnedGaussians,
     if config.remat:
         body = jax.checkpoint(body)
 
-    init = (jnp.zeros((n_tiles, p, 3), dtype),
-            jnp.zeros((n_tiles, p), dtype),
-            jnp.ones((n_tiles, p), dtype),
-            jnp.zeros((n_tiles, p), bool))
+    init = (shard_tiles(jnp.zeros((n_tiles, p, 3), dtype), 2),
+            shard_tiles(jnp.zeros((n_tiles, p), dtype)),
+            shard_tiles(jnp.ones((n_tiles, p), dtype)),
+            shard_tiles(jnp.zeros((n_tiles, p), bool)))
     (color, invd, trans, _term), _ = jax.lax.scan(
         body, init, jnp.arange(n_chunks, dtype=jnp.int32))
 

@@ -1,0 +1,153 @@
+"""Multi-chip training step: view-batch data parallelism x tile sharding.
+
+One jitted SPMD program: a batch of views is sharded over the mesh's "data"
+axis, each view's tile blend is sharded over the "tile" axis (constraint
+inside ops/rasterize.blend_tiles), Gaussian parameters are replicated, and
+XLA inserts the gradient all-reduce over ICI. This is the in-step
+parallelism the reference lacks entirely (its unit of parallelism is a
+whole chunk per GPU; SURVEY.md §2.3) — it is what lets one chunk train
+across a v5e slice.
+
+The update rule matches train/step.py (masked sparse Adam on rows visible
+in ANY view of the batch, exposure Adam, stats, shrink); with batch size 1
+on a 1x1 mesh it degenerates to the single-chip step.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import OptimizationConfig
+from ..model import densify as densify_lib
+from ..model.state import GaussianState
+from ..ops import adam as adam_lib
+from ..ops.rasterize import RasterizeConfig
+from ..train.step import StepOutput, ViewBatch, render_for_training
+from ..utils import losses as loss_lib
+from ..utils import schedules
+from .sharding import TILE_AXIS
+
+
+def make_parallel_train_step(opt_cfg: OptimizationConfig,
+                             raster_cfg: RasterizeConfig,
+                             use_depth_loss: bool = True,
+                             use_exposure: bool = True,
+                             skybox_locked: bool = True,
+                             freeze_xyz: bool = False,
+                             shrink_threshold: float = 0.02,
+                             shrink_protect_scaffold: bool = True,
+                             skip_shrink: bool = False,
+                             shard_tiles: bool = True):
+    """Build a jitted step over a *batched* ViewBatch (leading dim B).
+
+    Call under `jax.set_mesh(mesh)`; batch arrays should be data-sharded,
+    parameters replicated.
+    """
+    if shard_tiles:
+        raster_cfg = raster_cfg._replace(shard_axis=TILE_AXIS)
+
+    def lr_dict(iteration):
+        xyz_lr = schedules.expon_lr(
+            iteration, opt_cfg.position_lr_init, opt_cfg.position_lr_final,
+            lr_delay_mult=opt_cfg.position_lr_delay_mult,
+            max_steps=opt_cfg.position_lr_max_steps)
+        if freeze_xyz:
+            xyz_lr = 0.0
+        return {
+            "xyz": xyz_lr,
+            "f_dc": opt_cfg.feature_lr,
+            "f_rest": opt_cfg.feature_lr / 20.0,
+            "opacity": opt_cfg.opacity_lr,
+            "scaling": opt_cfg.scaling_lr,
+            "rotation": opt_cfg.rotation_lr,
+        }
+
+    @functools.partial(jax.jit, static_argnames=("sh_degree",),
+                       donate_argnames=("state", "opt", "exposure",
+                                        "exposure_opt"))
+    def step(state: GaussianState, opt: adam_lib.AdamState,
+             exposure: jax.Array, exposure_opt: adam_lib.AdamState,
+             batch: ViewBatch, iteration: jax.Array, bg: jax.Array,
+             spatial_lr_scale: jax.Array, cameras_extent: jax.Array,
+             sh_degree: int) -> StepOutput:
+        params = state.trainable_dict()
+        offset = jnp.zeros((state.capacity, 2), jnp.float32)
+        depth_w = schedules.expon_lr(
+            iteration, opt_cfg.depth_l1_weight_init,
+            opt_cfg.depth_l1_weight_final, max_steps=opt_cfg.iterations)
+
+        def view_loss(params, exposure, offset, view: ViewBatch):
+            st = state.replace_trainable(params)
+            exp_row = exposure[view.image_idx] if use_exposure else None
+            out = render_for_training(st, view.camera, sh_degree, bg,
+                                      raster_cfg, means2d_offset=offset,
+                                      exposure=exp_row)
+            image = out["render"] * view.alpha_mask
+            photo = loss_lib.photometric_loss(image, view.gt_image,
+                                              opt_cfg.lambda_dssim)
+            if use_depth_loss:
+                d_l1 = jnp.mean(jnp.abs(out["invdepth"] - view.invdepth)
+                                * view.depth_mask)
+                depth = jnp.where(view.depth_reliable & (depth_w > 0),
+                                  depth_w * d_l1, 0.0)
+            else:
+                depth = jnp.zeros(())
+            aux = (out["radii"], out["visibility_filter"], photo, depth)
+            return photo + depth, aux
+
+        def batch_loss(params, exposure, offset):
+            losses, aux = jax.vmap(
+                view_loss, in_axes=(None, None, None, 0))(
+                    params, exposure, offset, batch)
+            return jnp.mean(losses), aux
+
+        grad_fn = jax.grad(batch_loss, argnums=(0, 1, 2), has_aux=True)
+        (g_params, g_exp, g_offset), aux = grad_fn(params, exposure, offset)
+        radii_b, visible_b, photo_b, depth_b = aux
+        radii = jnp.max(radii_b, axis=0)
+        visible = jnp.any(visible_b, axis=0)
+
+        if skybox_locked:
+            locked = state.locked_rows_mask()
+            for k in g_params:
+                m = locked.reshape((-1,) + (1,) * (g_params[k].ndim - 1))
+                g_params[k] = jnp.where(m, 0.0, g_params[k])
+
+        new_state_stats = densify_lib.add_densification_stats(
+            state, g_offset, radii, visible)
+
+        relevant = (g_params["opacity"][:, 0] != 0.0) & state.alive
+        lrs = lr_dict(iteration)
+        lrs = dict(lrs, xyz=lrs["xyz"] * spatial_lr_scale)
+        new_params, new_opt = adam_lib.sparse_adam_update(
+            params, g_params, opt, lrs, relevant)
+        new_state = new_state_stats.replace_trainable(new_params)
+
+        if use_exposure:
+            exp_lr = schedules.expon_lr(
+                iteration, opt_cfg.exposure_lr_init, opt_cfg.exposure_lr_final,
+                lr_delay_steps=opt_cfg.exposure_lr_delay_steps,
+                lr_delay_mult=opt_cfg.exposure_lr_delay_mult,
+                max_steps=opt_cfg.iterations)
+            all_rows = jnp.ones(exposure.shape[0], bool)
+            new_exp, exposure_opt = adam_lib.sparse_adam_update(
+                {"exposure": exposure}, {"exposure": g_exp},
+                exposure_opt, {"exposure": exp_lr}, all_rows, eps=1e-8)
+            exposure = new_exp["exposure"]
+
+        if not skip_shrink:
+            new_state = densify_lib.shrink_big_gaussians(
+                new_state, cameras_extent, shrink_threshold,
+                protect_scaffold=shrink_protect_scaffold)
+
+        return StepOutput(
+            state=new_state, opt=new_opt, exposure=exposure,
+            exposure_opt=exposure_opt, photo_loss=jnp.mean(photo_b),
+            depth_loss=jnp.mean(depth_b),
+            n_visible=jnp.sum(visible.astype(jnp.int32)),
+            n_duplicates=jnp.zeros((), jnp.int32))
+
+    return step
