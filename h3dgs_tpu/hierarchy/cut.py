@@ -1,0 +1,140 @@
+"""View-adaptive hierarchy cuts + differentiable LOD interpolation (jit).
+
+Replaces the reference's sequential native tree walk — ``expand_to_size`` +
+``get_interpolation_weights`` (/root/reference/train_post.py:91-113,
+render_hierarchy.py:58-80) — with a fully parallel per-node predicate:
+
+Because boxes are *nested* (hierarchy/tree.py), the projected granularity
+  size(n) = ||box_diag(n)|| / max(dist(cam, box(n)), eps)
+is monotone non-increasing along every root->leaf path, so the walk's
+stopping rule "first node with size <= limit" is exactly the flat predicate
+  in_cut(n)  =  size(parent(n)) > limit  and  (leaf(n) or size(n) <= limit).
+One vectorized pass over all M nodes — ideal for TPU (no data-dependent
+control flow), and it jits inside the training step so cuts never leave the
+device.
+
+Interpolation weights reproduce the reference python-interp path
+(/root/reference/gaussian_renderer/__init__.py:199-234): per cut node,
+attr = w * child + (1-w) * parent with quaternion sign fix; w follows where
+the limit falls between parent and child granularity.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .tree import DEPTH, FIRST_CHILD, N_CHILDREN, PARENT  # noqa: F401
+
+DIST_EPS = 1e-9
+
+
+class Cut(NamedTuple):
+    """A fixed-capacity cut through the hierarchy (device arrays)."""
+    indices: jax.Array    # [K] i32 node indices (== Gaussian rows); M = pad
+    parents: jax.Array    # [K] i32 parent node indices (self for root/pad)
+    weights: jax.Array    # [K] f32 child weight w in [0, 1]
+    num_siblings: jax.Array  # [K] i32
+    valid: jax.Array      # [K] bool
+    count: jax.Array      # [] i32 true cut size (may exceed K: overflow)
+
+
+def node_sizes(boxes: jax.Array, cam_center: jax.Array) -> jax.Array:
+    """Projected granularity of every node for a camera position. [M]"""
+    diag = jnp.linalg.norm(boxes[:, 1] - boxes[:, 0], axis=-1)
+    delta = jnp.maximum(jnp.maximum(boxes[:, 0] - cam_center,
+                                    cam_center - boxes[:, 1]), 0.0)
+    dist = jnp.linalg.norm(delta, axis=-1)
+    return diag / jnp.maximum(dist, DIST_EPS)
+
+
+def cut_mask(nodes: jax.Array, boxes: jax.Array, limit: jax.Array,
+             cam_center: jax.Array):
+    """Per-node cut membership + interpolation weight. ([M] bool, [M] f32)."""
+    size = node_sizes(boxes, cam_center)
+    parent = nodes[:, PARENT]
+    has_parent = parent >= 0
+    psize = jnp.where(has_parent, size[jnp.maximum(parent, 0)], jnp.inf)
+    is_leaf = nodes[:, N_CHILDREN] == 0
+    in_cut = (psize > limit) & (is_leaf | (size <= limit))
+
+    denom = psize - size
+    w = jnp.where(jnp.isfinite(psize) & (denom > 1e-12),
+                  (psize - limit) / jnp.where(denom > 1e-12, denom, 1.0),
+                  1.0)
+    w = jnp.clip(w, 0.0, 1.0)
+    return in_cut, w, size
+
+
+def expand_to_size(nodes: jax.Array, boxes: jax.Array, limit: jax.Array,
+                   cam_center: jax.Array, max_cut: int) -> Cut:
+    """Select the view-adaptive cut, compacted to static capacity.
+
+    Name kept for parity with the native op it replaces
+    (/root/reference/train_post.py:91-99); also folds in
+    ``get_interpolation_weights`` (:104-113) since both derive from the
+    same per-node sizes.
+    """
+    m = nodes.shape[0]
+    in_cut, w_all, _ = cut_mask(nodes, boxes, limit, cam_center)
+    count = jnp.sum(in_cut.astype(jnp.int32))
+    (idx,) = jnp.nonzero(in_cut, size=max_cut, fill_value=m)
+    idx = idx.astype(jnp.int32)
+    valid = jnp.arange(max_cut) < jnp.minimum(count, max_cut)
+    safe = jnp.where(valid, idx, 0)
+    parent = nodes[safe, PARENT]
+    parent = jnp.where(valid & (parent >= 0), parent, safe).astype(jnp.int32)
+    nsib = jnp.where(parent != safe, nodes[parent, N_CHILDREN], 1)
+    return Cut(
+        indices=idx,
+        parents=parent,
+        weights=jnp.where(valid, w_all[safe], 0.0),
+        num_siblings=jnp.where(valid, nsib, 1).astype(jnp.int32),
+        valid=valid,
+        count=count,
+    )
+
+
+def interpolate_cut(params: dict, cut: Cut):
+    """Gather + lerp hierarchy attributes for the cut's nodes.
+
+    ``params``: dict with xyz [M,3], f_dc [M,1,3], f_rest [M,15,3],
+    opacity [M,1] (pre-activation, |x| semantics), scaling [M,3] log,
+    rotation [M,4]. Returns activated per-splat arrays of length K.
+    Gradients flow to both child and parent rows (the differentiable-LOD
+    trick, /root/reference/gaussian_renderer/__init__.py:199-234).
+    """
+    k = cut.indices.shape[0]
+    ci = jnp.where(cut.valid, cut.indices, 0)
+    pi = cut.parents
+    w = cut.weights[:, None]
+
+    def lerp(arr, extra_dims=0):
+        wl = w.reshape((k, 1) + (1,) * extra_dims) if extra_dims else w
+        return wl * arr[ci] + (1.0 - wl) * arr[pi]
+
+    xyz = lerp(params["xyz"])
+    # Interpolate in *activated* scale space (reference lerps pc.get_scaling).
+    scales = lerp(jnp.exp(params["scaling"]))
+    feats = jnp.concatenate([params["f_dc"], params["f_rest"]], axis=1)
+    shs = lerp(feats, extra_dims=1)
+    opac = lerp(jnp.abs(params["opacity"]))[:, 0]
+    opac = jnp.where(cut.valid, opac, 0.0)
+
+    # Quaternion sign fix: flip parent where dot(child, parent) < 0.
+    qc = params["rotation"][ci]
+    qp = params["rotation"][pi]
+    dots = jnp.sum(qc * qp, axis=-1, keepdims=True)
+    qp = jnp.where(dots < 0, -qp, qp)
+    quats = w * qc + (1.0 - w) * qp
+    return xyz, scales, quats, opac, shs
+
+
+def pixel_limit(tau: float, tanfovx: float, width: int) -> float:
+    """Granularity limit from a pixel-space target tau.
+
+    Reference formula (/root/reference/render_hierarchy.py:55-56):
+    threshold = (2 * (tau + 0.5)) * tanfovx / (0.5 * width).
+    """
+    return (2.0 * (tau + 0.5)) * tanfovx / (0.5 * width)
