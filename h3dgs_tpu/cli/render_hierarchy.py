@@ -1,0 +1,103 @@
+"""Hierarchy rendering + metric evaluation (render_hierarchy.py equivalent).
+
+  python -m h3dgs_tpu.cli.render_hierarchy -s <aligned colmap> -m <out> \
+      --hierarchy <merged.hier> [--scaffold_file <coarse iter dir>] \
+      --taus 0 3 6 15 --eval --images images
+
+For each granularity tau (pixels), renders every test (or train) view via
+the view-adaptive cut and reports PSNR/SSIM (+LPIPS when weights are
+available), with the half-image crop protocol under --train_test_exp
+(/root/reference/render_hierarchy.py:33-120).
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+
+def render_set(scene, cfg, taus, out_dir: str, save_images: bool = True):
+    import jax.numpy as jnp
+
+    from ..eval import metrics as M
+    from ..hierarchy.cut import pixel_limit
+    from ..scene.loader import load_view
+    from ..train.loop import raster_config
+    from ..train.post_step import render_cut
+
+    h = scene.hierarchy
+    nodes = jnp.asarray(h.nodes)
+    boxes = jnp.asarray(h.boxes)
+    r_cfg = raster_config(cfg)
+    bg = (jnp.ones(3, jnp.float32) if cfg.model.white_background
+          else jnp.zeros(3, jnp.float32))
+    max_cut = min(1 << int(np.ceil(np.log2(max(h.n_leaves, 2) * 1.25))),
+                  h.n_nodes)
+    cams = scene.info.test_cameras or scene.info.train_cameras
+    pre_exp = scene.pretrained_exposures or {}
+    results = {}
+    for tau in taus:
+        psnrs, ssims, lpipss = [], [], []
+        tau_dir = os.path.join(out_dir, f"tau_{tau}")
+        if save_images:
+            os.makedirs(tau_dir, exist_ok=True)
+        for vi, info in enumerate(cams):
+            view = load_view(info, cfg.model.resolution,
+                             train_test_exp=cfg.model.train_test_exp,
+                             is_test_dataset=True)
+            cam = view.camera
+            limit = pixel_limit(tau, float(cam.tanfovx), cam.width)
+            exp = pre_exp.get(info.image_name)
+            out = render_cut(scene.state, nodes, boxes, cam,
+                             jnp.asarray(limit, jnp.float32),
+                             cfg.model.sh_degree, bg, r_cfg, max_cut,
+                             exposure=(jnp.asarray(exp)
+                                       if exp is not None else None))
+            img = np.asarray(out["render"]).clip(0, 1)
+            gt = np.asarray(view.gt_image)
+            if cfg.model.train_test_exp:  # right half only (:98-101)
+                img = img[..., img.shape[-1] // 2:]
+                gt = gt[..., gt.shape[-1] // 2:]
+            psnrs.append(float(M.psnr(jnp.asarray(img), jnp.asarray(gt))))
+            ssims.append(float(M.ssim(jnp.asarray(img), jnp.asarray(gt))))
+            lp = M.lpips(img, gt)
+            if lp is not None:
+                lpipss.append(lp)
+            if save_images:
+                from PIL import Image
+                Image.fromarray(
+                    (np.asarray(out["render"]).clip(0, 1)
+                     .transpose(1, 2, 0) * 255).astype(np.uint8)).save(
+                    os.path.join(tau_dir, f"{vi:05d}.png"))
+        res = {"psnr": float(np.mean(psnrs)),
+               "ssim": float(np.mean(ssims)),
+               "lpips": float(np.mean(lpipss)) if lpipss else None,
+               "n_views": len(cams)}
+        results[tau] = res
+        print(f"tau={tau}: PSNR {res['psnr']:.3f} SSIM {res['ssim']:.4f} "
+              f"LPIPS {res['lpips']}", flush=True)
+    return results
+
+
+def main(argv=None):
+    import json
+
+    from ..scene.scene import Scene
+    from .common import build_parser, parse_full_config
+
+    parser = build_parser("Hierarchy rendering and evaluation (TPU)")
+    parser.add_argument("--taus", nargs="+", type=float,
+                        default=[0.0, 3.0, 6.0, 15.0])
+    parser.add_argument("--no_images", action="store_true")
+    cfg, args = parse_full_config(parser, argv)
+    scene = Scene(cfg.model, cfg.runtime, create_from_hier=True)
+    out_dir = os.path.join(cfg.model.model_path, "renders")
+    results = render_set(scene, cfg, args.taus, out_dir,
+                         save_images=not args.no_images)
+    with open(os.path.join(cfg.model.model_path, "metrics.json"), "w") as f:
+        json.dump({str(k): v for k, v in results.items()}, f, indent=2)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

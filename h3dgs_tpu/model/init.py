@@ -151,6 +151,7 @@ def init_from_pcd(
     points_xyz: np.ndarray,
     points_rgb: np.ndarray,
     capacity: Optional[int] = None,
+    capacity_factor: float = 1.0,
     max_sh_degree: int = 3,
     skybox_points: int = 0,
     scaffold_dir: str = "",
@@ -202,6 +203,14 @@ def init_from_pcd(
         scaling = np.concatenate([sc["scaling"], scaling])
         rotation = np.concatenate([sc["rotation"], rotation])
 
+    # Densify headroom applies to the scene points only; skybox/scaffold
+    # rows are protected and never densify.
+    n_total = xyz.shape[0]
+    n_protected = max(n_skybox, n_scaffold)
+    if capacity is None:
+        capacity = n_protected + int(
+            (n_total - n_protected) * max(capacity_factor, 1.0))
+    capacity = max(capacity, n_total)
     return state_lib.from_arrays(
         xyz, features_dc, features_rest, opacity, scaling, rotation,
         capacity=capacity, max_sh_degree=max_sh_degree,

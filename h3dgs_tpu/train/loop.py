@@ -1,0 +1,211 @@
+"""Host-side training drivers: coarse / single-chunk / post loops.
+
+These orchestrate the jitted steps (train/step.py, train/post_step.py)
+around a streaming view loader, densification intervals, SH warmup,
+checkpointing, and artifact saving — the role of the reference's
+train_coarse.py / train_single.py / train_post.py loop bodies.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import FullConfig
+from ..ops import adam as adam_lib
+from ..ops.rasterize import RasterizeConfig
+from ..scene.scene import Scene
+from ..utils import schedules
+from . import checkpoint as ckpt_lib
+from .post_step import make_post_train_step, sample_limit
+from .step import ViewBatch, densify_step, make_train_step, reset_opacity_step
+
+
+def raster_config(cfg: FullConfig) -> RasterizeConfig:
+    r = cfg.runtime
+    return RasterizeConfig(tile=r.tile, max_entries=r.max_entries,
+                           max_per_tile=r.max_per_tile,
+                           chunk=r.blend_chunk)
+
+
+def _device_batch(batch: ViewBatch) -> ViewBatch:
+    return jax.tree.map(jnp.asarray, batch)
+
+
+@dataclasses.dataclass
+class TrainLog:
+    ema_photo: float = 0.0
+    ema_depth: float = 0.0
+    t_start: float = 0.0
+    n_logged: int = 0
+
+    def update(self, photo, depth):
+        self.ema_photo = 0.4 * float(photo) + 0.6 * self.ema_photo
+        self.ema_depth = 0.4 * float(depth) + 0.6 * self.ema_depth
+
+
+def train_flat(cfg: FullConfig, scene: Scene, coarse: bool = False,
+               save_iterations: Optional[List[int]] = None,
+               checkpoint_iterations: Optional[List[int]] = None,
+               start_checkpoint: str = "",
+               progress_cb: Optional[Callable] = None,
+               viewer=None) -> None:
+    """Flat-model training: train_single (coarse=False) or train_coarse.
+
+    Coarse variant (train_coarse.py:55-145): sh degree 1, frozen xyz, no
+    depth loss / exposure step / densification, shrink threshold 0.1.
+    """
+    opt_cfg = cfg.opt
+    r_cfg = raster_config(cfg)
+    max_sh = 1 if coarse else cfg.model.sh_degree
+    save_iterations = save_iterations or [opt_cfg.iterations]
+
+    step = make_train_step(
+        opt_cfg, r_cfg,
+        use_depth_loss=not coarse,
+        use_exposure=not coarse,
+        skybox_locked=cfg.model.skybox_locked or coarse,
+        freeze_xyz=coarse,
+        shrink_threshold=0.1 if coarse else 0.02,
+        shrink_protect_scaffold=True,
+        skip_shrink=cfg.model.skip_scale_big_gauss)
+
+    state = scene.state
+    opt = adam_lib.init(state.trainable_dict())
+    exposure = jnp.asarray(scene.exposures)
+    exp_opt = adam_lib.init({"exposure": exposure})
+    first_iter = 0
+    if start_checkpoint:
+        state, opt, exposure, exp_opt, first_iter = ckpt_lib.load_flat(
+            start_checkpoint, state)
+        print(f"restored checkpoint at iteration {first_iter}")
+
+    bg = (jnp.ones(3, jnp.float32) if cfg.model.white_background
+          else jnp.zeros(3, jnp.float32))
+    extent = jnp.asarray(scene.cameras_extent, jnp.float32)
+    spatial_lr = jnp.asarray(scene.cameras_extent, jnp.float32)
+    stream = scene.train_stream(num_workers=8)
+    rng = jax.random.PRNGKey(0)
+    log = TrainLog(t_start=time.time())
+
+    try:
+        for it in range(first_iter + 1, opt_cfg.iterations + 1):
+            if viewer is not None:
+                viewer.poll(state, max_sh, r_cfg, bg)
+            batch = _device_batch(next(stream))
+            sh_deg = min(it // 1000, max_sh)
+            # Coarse random background per iteration (train_coarse.py:62).
+            if coarse:
+                rng, k = jax.random.split(rng)
+                bg_it = jax.random.uniform(k, (3,))
+            else:
+                bg_it = bg
+            out = step(state, opt, exposure, exp_opt, batch,
+                       jnp.asarray(float(it)), bg_it, spatial_lr, extent,
+                       sh_deg)
+            state, opt = out.state, out.opt
+            exposure, exp_opt = out.exposure, out.exposure_opt
+            log.update(out.photo_loss, out.depth_loss)
+
+            if not coarse and it < opt_cfg.densify_until_iter:
+                if (it > opt_cfg.densify_from_iter
+                        and it % opt_cfg.densification_interval == 0):
+                    rng, k = jax.random.split(rng)
+                    state, opt, stats = densify_step(
+                        state, opt, k, opt_cfg.densify_grad_threshold,
+                        0.005, extent, opt_cfg.percent_dense)
+                if it % opt_cfg.opacity_reset_interval == 0 or (
+                        cfg.model.white_background
+                        and it == opt_cfg.densify_from_iter):
+                    state, opt = reset_opacity_step(state, opt)
+
+            if it % 50 == 0 or it == opt_cfg.iterations:
+                n_alive = int(state.n_alive)
+                rate = it / max(time.time() - log.t_start, 1e-9)
+                msg = (f"[{it}/{opt_cfg.iterations}] "
+                       f"loss={log.ema_photo:.5f} "
+                       f"depth={log.ema_depth:.5f} "
+                       f"alive={n_alive} it/s={rate:.2f}")
+                print(msg, flush=True)
+                if progress_cb:
+                    progress_cb(it, log)
+            if it in save_iterations:
+                path = scene.save(it, state, np.asarray(exposure))
+                print(f"[{it}] saved -> {path}", flush=True)
+            if checkpoint_iterations and it in checkpoint_iterations:
+                ckpt_lib.save_flat(
+                    os.path.join(scene.model_path, f"chkpnt{it}.npz"),
+                    state, opt, exposure, exp_opt, it)
+    finally:
+        stream.close()
+
+
+def train_post(cfg: FullConfig, scene: Scene,
+               save_iterations: Optional[List[int]] = None,
+               progress_cb: Optional[Callable] = None) -> None:
+    """Hierarchy fine-tune (train_post.py:31-198)."""
+    opt_cfg = cfg.opt
+    r_cfg = raster_config(cfg)
+    h = scene.hierarchy
+    assert h is not None, "train_post requires --hierarchy"
+    save_iterations = save_iterations or [opt_cfg.iterations]
+    max_sh = cfg.model.sh_degree
+
+    # Static cut capacity: every node could be in a cut in the worst case,
+    # but practical cuts are ~leaf-count; cap with headroom and report
+    # overflow. Power-of-2 bucket keeps recompiles away.
+    max_cut = 1 << int(np.ceil(np.log2(max(h.n_leaves, 2) * 1.25)))
+    max_cut = min(max_cut, h.n_nodes)
+
+    step = make_post_train_step(
+        opt_cfg, r_cfg, max_cut,
+        skybox_locked=cfg.model.skybox_locked,
+        use_exposure=scene.pretrained_exposures is not None)
+
+    state = scene.state
+    opt = adam_lib.init(state.trainable_dict())
+    nodes = jnp.asarray(h.nodes)
+    boxes = jnp.asarray(h.boxes)
+    amask = jnp.asarray(scene.anchor_mask)
+    bg = (jnp.ones(3, jnp.float32) if cfg.model.white_background
+          else jnp.zeros(3, jnp.float32))
+    spatial_lr = jnp.asarray(scene.cameras_extent, jnp.float32)
+    stream = scene.train_stream(num_workers=8)
+    rng = jax.random.PRNGKey(0)
+    log = TrainLog(t_start=time.time())
+    pre_exp = scene.pretrained_exposures or {}
+
+    try:
+        for it in range(1, opt_cfg.iterations + 1):
+            batch_host = next(stream)
+            name = scene.image_names[int(batch_host.image_idx)]
+            exp_row = jnp.asarray(pre_exp.get(
+                name, np.eye(3, 4, dtype=np.float32)))
+            batch = _device_batch(batch_host)
+            rng, k = jax.random.split(rng)
+            limit = sample_limit(k)
+            sh_deg = min(it // 1000, max_sh)
+            out = step(state, opt, batch, nodes, boxes, amask, exp_row,
+                       limit, jnp.asarray(float(it)), bg, spatial_lr,
+                       sh_deg)
+            state, opt = out.state, out.opt
+            log.update(out.photo_loss, 0.0)
+            if it % 50 == 0 or it == opt_cfg.iterations:
+                cut = int(out.cut_size)
+                rate = it / max(time.time() - log.t_start, 1e-9)
+                over = " OVERFLOW" if cut > max_cut else ""
+                print(f"[{it}/{opt_cfg.iterations}] "
+                      f"loss={log.ema_photo:.5f} cut={cut}{over} "
+                      f"it/s={rate:.2f}", flush=True)
+                if progress_cb:
+                    progress_cb(it, log)
+            if it in save_iterations:
+                path = scene.save(it, state, hierarchy=h)
+                print(f"[{it}] saved -> {path}", flush=True)
+    finally:
+        stream.close()
