@@ -4,7 +4,13 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Metric: Mpix/s of full forward+backward (render + photometric-loss grad
 w.r.t. all Gaussian parameters) at 1920x1080 on a synthetic scene of
-N_GAUSS Gaussians — the BASELINE.json north-star number.
+N_GAUSS Gaussians — the BASELINE.json north-star number. Uses the Pallas
+blend kernel on TPU (ops/pallas_blend.py).
+
+Timing notes for the axon (tunneled TPU) backend: block_until_ready is
+unreliable and repeated identical calls can be cached, so each iteration
+perturbs an input and the loop syncs once at the end through a scalar
+that depends on every gradient.
 
 vs_baseline normalizes against a nominal CUDA-reference-class throughput:
 the reference's single-GPU hierarchy rasterizer trains ~30k iters in
@@ -23,7 +29,6 @@ import numpy as np
 BASELINE_MPIX_S = 45.0
 N_GAUSS = 200_000
 WIDTH, HEIGHT = 1920, 1080
-WARMUP = 2
 ITERS = 10
 
 
@@ -39,7 +44,8 @@ def main():
     rng = np.random.default_rng(0)
     n = N_GAUSS
     means = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
-    scales = np.exp(rng.uniform(np.log(0.005), np.log(0.03), (n, 3))).astype(np.float32)
+    scales = np.exp(rng.uniform(np.log(0.005), np.log(0.03),
+                                (n, 3))).astype(np.float32)
     quats = rng.normal(size=(n, 4)).astype(np.float32)
     opac = rng.uniform(0.3, 0.95, (n,)).astype(np.float32)
     shs = np.zeros((n, 16, 3), np.float32)
@@ -48,26 +54,31 @@ def main():
 
     cam = look_at_camera(eye=(0.0, -1.0, -6.0), target=(0, 0, 0), fovx=1.2,
                          width=WIDTH, height=HEIGHT)
-    cfg = RasterizeConfig(max_entries=1 << 21, max_per_tile=1024, chunk=32)
+    cfg = RasterizeConfig(max_entries=1 << 21, max_per_tile=4096,
+                          chunk_e=256)
     bg = jnp.zeros(3, jnp.float32)
     params = (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
               jnp.asarray(opac), jnp.asarray(shs))
     target = jnp.zeros((3, HEIGHT, WIDTH), jnp.float32) + 0.3
 
-    def loss_fn(params, target):
-        out = rasterize(*params, cam, 3, bg, config=cfg)
-        return photometric_loss(out["render"], target)
+    @jax.jit
+    def step(params, target, salt):
+        params = (params[0] + salt,) + params[1:]
 
-    step = jax.jit(jax.value_and_grad(loss_fn))
+        def loss_fn(p):
+            out = rasterize(*p, cam, 3, bg, config=cfg)
+            return photometric_loss(out["render"], target)
 
-    for _ in range(WARMUP):
-        l, g = step(params, target)
-        jax.block_until_ready(g)
+        grads = jax.grad(loss_fn)(params)
+        return sum(jnp.sum(g) for g in grads)
+
+    # Warm up / compile.
+    float(step(params, target, jnp.float32(0.0)))
 
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        l, g = step(params, target)
-    jax.block_until_ready(g)
+    outs = [step(params, target, jnp.float32((i + 1) * 1e-7))
+            for i in range(ITERS)]
+    float(outs[-1])
     dt = (time.perf_counter() - t0) / ITERS
 
     mpix_s = (WIDTH * HEIGHT / 1e6) / dt

@@ -103,3 +103,139 @@ def bin_gaussians(proj: ProjectedGaussians, height: int, width: int,
         tile_count=(tile_end - tile_start).astype(jnp.int32),
         total_entries=total.astype(jnp.int32),
     )
+
+
+class AlignedBins(NamedTuple):
+    """Chunk-aligned entry layout for the Pallas blend kernel.
+
+    Every tile's entry run starts at a multiple of ``chunk_e`` and is padded
+    to one (padding slots hold gauss_idx = -1); ``owner`` maps each chunk of
+    ``chunk_e`` entries to its tile (-1 = unused chunk). This is what lets
+    the kernel walk one flat entry stream with scalar-prefetched block
+    indices — the TPU version of the CUDA per-tile ranges.
+    """
+    gauss_idx: jnp.ndarray   # [D] int32, -1 = padding slot
+    owner: jnp.ndarray       # [D // chunk_e] int32 tile per chunk, -1 unused
+    tile_start: jnp.ndarray  # [T] int32 (aligned)
+    tile_count: jnp.ndarray  # [T] int32 (true, clamped to max_per_tile)
+    total_entries: jnp.ndarray  # [] int32 pre-clamp duplicate count
+
+
+def align_segments(binned: BinnedGaussians, n_tiles: int, max_entries: int,
+                   max_per_tile: int, chunk_e: int) -> AlignedBins:
+    """Re-layout sorted entries into chunk-aligned per-tile segments."""
+    d = max_entries
+    pos = jnp.arange(d, dtype=jnp.int32)
+    tile_of = jnp.searchsorted(binned.tile_start, pos,
+                               side="right").astype(jnp.int32) - 1
+    tile_of = jnp.clip(tile_of, 0, n_tiles - 1)
+    return _aligned_from_sorted(
+        binned.gauss_idx, tile_of, binned.entry_valid, binned.tile_start,
+        binned.tile_count, binned.total_entries, n_tiles, max_per_tile,
+        chunk_e)
+
+
+def _aligned_from_sorted(gauss_idx, tile_of, entry_valid, tile_start,
+                         tile_count, total, n_tiles, max_per_tile,
+                         chunk_e) -> AlignedBins:
+    d = gauss_idx.shape[0]
+    count = jnp.minimum(tile_count, max_per_tile)                 # [T]
+    aligned = -(-count // chunk_e) * chunk_e                      # [T]
+    astart = jnp.cumsum(aligned) - aligned                        # [T]
+
+    # One [T,4] row gather instead of three scalar gathers over D entries
+    # (TPU gathers move rows efficiently; per-element gathers do not).
+    ttab = jnp.stack([tile_start, count, astart,
+                      jnp.zeros_like(count)], axis=1)             # [T, 4]
+    trows = ttab[tile_of]                                          # [D, 4]
+    pos = jnp.arange(d, dtype=jnp.int32)
+    rank = pos - trows[:, 0]
+    ok = entry_valid & (rank < trows[:, 1])
+    dest = jnp.where(ok, trows[:, 2] + rank, d)
+    gauss = jnp.full((d,), -1, jnp.int32).at[dest].set(gauss_idx,
+                                                       mode="drop")
+
+    n_chunks = d // chunk_e
+    chunk_pos = jnp.arange(n_chunks, dtype=jnp.int32) * chunk_e
+    owner = jnp.searchsorted(astart, chunk_pos,
+                             side="right").astype(jnp.int32) - 1
+    owner_c = jnp.clip(owner, 0, n_tiles - 1)
+    used = chunk_pos < (astart[owner_c] + aligned[owner_c])
+    owner = jnp.where(used, owner_c, -1)
+    return AlignedBins(
+        gauss_idx=gauss, owner=owner,
+        tile_start=astart.astype(jnp.int32),
+        tile_count=count.astype(jnp.int32),
+        total_entries=total)
+
+
+def bin_gaussians_aligned(proj: ProjectedGaussians, height: int, width: int,
+                          max_entries: int, max_per_tile: int, chunk_e: int,
+                          tile: int = TILE) -> AlignedBins:
+    """Fused binning for the Pallas blend: single-key sort + aligned layout.
+
+    Faster than bin_gaussians + align_segments: the (tile, depth) pair is
+    packed into ONE int64 key (positive-float depth bits are order-
+    preserving as integers), the sort carries a single payload, and the
+    per-entry tile comes straight out of the sort instead of a
+    searchsorted over all entries.
+    """
+    tiles_y, tiles_x = num_tiles(height, width, tile)
+    n_tiles = tiles_y * tiles_x
+    n = proj.means2d.shape[0]
+    d = max_entries
+
+    x = proj.means2d[:, 0]
+    y = proj.means2d[:, 1]
+    r = proj.radius.astype(x.dtype)
+    rect_min_x = jnp.clip(((x - r) / tile).astype(jnp.int32), 0, tiles_x)
+    rect_min_y = jnp.clip(((y - r) / tile).astype(jnp.int32), 0, tiles_y)
+    rect_max_x = jnp.clip(((x + r + tile - 1) / tile).astype(jnp.int32),
+                          0, tiles_x)
+    rect_max_y = jnp.clip(((y + r + tile - 1) / tile).astype(jnp.int32),
+                          0, tiles_y)
+    span_x = jnp.maximum(rect_max_x - rect_min_x, 0)
+    span_y = jnp.maximum(rect_max_y - rect_min_y, 0)
+    counts = jnp.where(proj.valid & (proj.radius > 0), span_x * span_y, 0)
+
+    offsets = jnp.cumsum(counts) - counts
+    total = (offsets[-1] + counts[-1] if n > 0 else jnp.int32(0))
+
+    starts = jnp.where((counts > 0) & (offsets < d), offsets, d)
+    marker = jnp.zeros((d + 1,), jnp.int32).at[starts].max(
+        jnp.arange(n, dtype=jnp.int32) + 1)
+    owner_g = jax.lax.cummax(marker[:d])
+    entry_valid = (owner_g > 0) & (jnp.arange(d) < jnp.minimum(total, d))
+    gauss = jnp.maximum(owner_g - 1, 0)
+
+    # Batch all per-Gaussian lookups into one [N,8] row gather.
+    depth_bits = jax.lax.bitcast_convert_type(
+        jnp.maximum(proj.depth, 0.0).astype(jnp.float32), jnp.int32)
+    gtab = jnp.stack([rect_min_x, rect_min_y,
+                      jnp.maximum(span_x, 1), offsets.astype(jnp.int32),
+                      depth_bits,
+                      jnp.zeros_like(rect_min_x), jnp.zeros_like(rect_min_x),
+                      jnp.zeros_like(rect_min_x)], axis=1)       # [N, 8]
+    grows = gtab[gauss]                                           # [D, 8]
+
+    j = jnp.arange(d, dtype=jnp.int32) - grows[:, 3]
+    tx = grows[:, 0] + j % grows[:, 2]
+    ty = grows[:, 1] + j // grows[:, 2]
+    tile_id = jnp.where(entry_valid, ty * tiles_x + tx, n_tiles)
+
+    # Two-key sort: tile id major, positive-f32 depth *bits* minor (order-
+    # preserving as int32, avoiding an f32 comparator); single payload.
+    sorted_tile, _, sorted_gauss = jax.lax.sort(
+        (tile_id, grows[:, 4], gauss), num_keys=2)
+
+    tile_range = jnp.arange(n_tiles, dtype=jnp.int32)
+    tile_start = jnp.searchsorted(sorted_tile, tile_range,
+                                  side="left").astype(jnp.int32)
+    tile_end = jnp.searchsorted(sorted_tile, tile_range,
+                                side="right").astype(jnp.int32)
+    return _aligned_from_sorted(
+        sorted_gauss.astype(jnp.int32),
+        jnp.clip(sorted_tile, 0, n_tiles - 1),
+        sorted_tile < n_tiles, tile_start,
+        (tile_end - tile_start).astype(jnp.int32),
+        jnp.asarray(total, jnp.int32), n_tiles, max_per_tile, chunk_e)

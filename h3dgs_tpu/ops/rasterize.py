@@ -44,6 +44,11 @@ class RasterizeConfig(NamedTuple):
     max_per_tile: int = 1024        # per-tile blend depth cap K
     chunk: int = 32                 # Gaussians blended per scan step G
     remat: bool = True
+    # Blend backend: "auto" picks the Pallas kernel on TPU and the XLA scan
+    # path elsewhere; "pallas" / "xla" force one. The Pallas path ignores
+    # ``chunk``/``remat`` and uses chunk_e-entry grid steps.
+    backend: str = "auto"
+    chunk_e: int = 128              # Pallas entries per grid step
     # Mesh axis name to shard the per-tile blend over (pixels/tiles are the
     # natural SPMD axis of splatting). Requires an ambient mesh
     # (jax.set_mesh); Gaussian/entry arrays stay replicated and XLA inserts
@@ -173,6 +178,79 @@ def blend_tiles(proj: ProjectedGaussians, binned: BinnedGaussians,
     return image, invdepth, final_t
 
 
+def _on_tpu() -> bool:
+    """True on real TPU hardware (incl. plugin backends like axon whose
+    platform name is not "tpu" but whose devices are TPU chips)."""
+    try:
+        d = jax.devices()[0]
+        return (d.platform == "tpu"
+                or "tpu" in getattr(d, "device_kind", "").lower())
+    except Exception:
+        return False
+
+
+def _use_pallas(config: RasterizeConfig) -> bool:
+    if config.backend == "pallas":
+        return True
+    if config.backend == "xla":
+        return False
+    # Pixel-tile sharding (shard_axis) is implemented by the XLA scan path;
+    # the Pallas kernel currently computes one device's full view (sharded
+    # multi-chip rendering shards views, not tiles, over the kernel).
+    if config.shard_axis is not None:
+        return False
+    return _on_tpu()
+
+
+def blend_tiles_pallas(proj: ProjectedGaussians, height: int, width: int,
+                       bg_color: jnp.ndarray, config: RasterizeConfig):
+    """Pallas-kernel blend path; same contract as blend_tiles.
+
+    Bins with chunk-aligned segments, runs the fused fwd/bwd kernel
+    (ops/pallas_blend.py), and composes background + untiles in XLA.
+    """
+    from .binning import bin_gaussians_aligned
+    from .pallas_blend import PallasBlendConfig, blend_entries
+
+    tile = config.tile
+    tiles_y, tiles_x = num_tiles(height, width, tile)
+    n_tiles = tiles_y * tiles_x
+    p = tile * tile
+
+    bins = bin_gaussians_aligned(proj, height, width, config.max_entries,
+                                 config.max_per_tile, config.chunk_e, tile)
+    pcfg = PallasBlendConfig(
+        chunk_e=config.chunk_e,
+        interpret=not _on_tpu())
+    inv_depth = 1.0 / jnp.maximum(proj.depth, 1e-6)
+    n_chunk_per_tile = -(-bins.tile_count // config.chunk_e)
+    last_chunk = jnp.where(
+        bins.tile_count > 0,
+        bins.tile_start // config.chunk_e + n_chunk_per_tile - 1, -1)
+    out = blend_entries(proj.means2d, proj.conic, proj.rgb, proj.opacity,
+                        inv_depth, bins.owner, bins.gauss_idx,
+                        last_chunk.astype(jnp.int32),
+                        n_tiles, tiles_x, tile, pcfg)     # [T, 8, P]
+
+    color = out[:, 0:3, :]
+    invd = out[:, 3, :]
+    trans = out[:, 4, :]
+    color = color + trans[:, None, :] * bg_color[None, :, None]
+
+    def untile(t_c_p, channels):
+        img = t_c_p.reshape(tiles_y, tiles_x, channels, tile, tile)
+        img = img.transpose(2, 0, 3, 1, 4).reshape(
+            channels, tiles_y * tile, tiles_x * tile)
+        return img[:, :height, :width]
+
+    image = untile(color, 3)
+    invdepth = untile(invd[:, None, :], 1)
+    final_t = untile(trans[:, None, :], 1)[0]
+    image, invdepth, final_t = jax.lax.optimization_barrier(
+        (image, invdepth, final_t))
+    return image, invdepth, final_t, bins.total_entries
+
+
 def rasterize(
     means3d, scales, quats, opacities, shs, camera: Camera, sh_degree: int,
     bg_color, scale_modifier: float = 1.0,
@@ -195,16 +273,22 @@ def rasterize(
                              colors_precomp=colors_precomp)
     if means2d_offset is not None:
         proj = proj._replace(means2d=proj.means2d + means2d_offset)
-    binned = bin_gaussians(proj, camera.height, camera.width,
-                           config.max_entries, config.tile)
-    image, invdepth, final_t = blend_tiles(
-        proj, binned, camera.height, camera.width, jnp.asarray(bg_color),
-        config)
+    if _use_pallas(config):
+        image, invdepth, final_t, n_dup = blend_tiles_pallas(
+            proj, camera.height, camera.width, jnp.asarray(bg_color),
+            config)
+    else:
+        binned = bin_gaussians(proj, camera.height, camera.width,
+                               config.max_entries, config.tile)
+        image, invdepth, final_t = blend_tiles(
+            proj, binned, camera.height, camera.width,
+            jnp.asarray(bg_color), config)
+        n_dup = binned.total_entries
     return {
         "render": image,
         "invdepth": invdepth,
         "final_transmittance": final_t,
         "radii": proj.radius,
         "visibility_filter": proj.radius > 0,
-        "n_duplicates": binned.total_entries,
+        "n_duplicates": n_dup,
     }
