@@ -214,13 +214,24 @@ def _three_sigma_box(xyz, scaling_log, rotation):
 
 
 def build_hierarchy(xyz, shs, alpha, scaling, rotation,
-                    locked_leaf_mask: np.ndarray | None = None) -> Hierarchy:
+                    locked_leaf_mask: np.ndarray | None = None,
+                    backend: str = "auto") -> Hierarchy:
     """Build the full hierarchy over N flat Gaussians.
 
     ``locked_leaf_mask`` [N] marks leaves (scaffold / out-of-chunk rows)
     whose enclosing nodes become anchors — fixed during post-optimization
     (reference anchors.bin contract, /root/reference/train_post.py:176-181).
+
+    ``backend``: "auto" uses the native C++ builder (native/
+    hierarchy_native.cpp — same algorithm, built with ``make -C native``)
+    when available, falling back to this vectorized numpy implementation;
+    "numpy"/"native" force one.
     """
+    if backend != "numpy":
+        from ..native import build_hierarchy_native, native_available
+        if backend == "native" or native_available():
+            return build_hierarchy_native(xyz, shs, alpha, scaling,
+                                          rotation, locked_leaf_mask)
     xyz = np.asarray(xyz, np.float32)
     n = xyz.shape[0]
     if n == 0:
