@@ -16,12 +16,17 @@ def main(argv=None):
 
     parser = build_parser("Hierarchy post-optimization (TPU)")
     parser.add_argument("--save_iterations", nargs="+", type=int, default=[])
+    parser.add_argument("--checkpoint_iterations", nargs="+", type=int,
+                        default=[])
+    parser.add_argument("--start_checkpoint", type=str, default="")
     cfg, args = parse_full_config(parser, argv)
     dump_cfg_args(cfg)
     saves = sorted(set(args.save_iterations + [cfg.opt.iterations]))
 
     scene = Scene(cfg.model, cfg.runtime, create_from_hier=True)
-    train_post(cfg, scene, save_iterations=saves)
+    train_post(cfg, scene, save_iterations=saves,
+               checkpoint_iterations=args.checkpoint_iterations,
+               start_checkpoint=args.start_checkpoint)
     print("Training complete.")
 
 

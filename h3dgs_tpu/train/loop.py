@@ -126,11 +126,16 @@ def train_flat(cfg: FullConfig, scene: Scene, coarse: bool = False,
 
             if it % 50 == 0 or it == opt_cfg.iterations:
                 n_alive = int(state.n_alive)
+                n_dup = int(out.n_duplicates)
                 rate = it / max(time.time() - log.t_start, 1e-9)
                 msg = (f"[{it}/{opt_cfg.iterations}] "
                        f"loss={log.ema_photo:.5f} "
                        f"depth={log.ema_depth:.5f} "
                        f"alive={n_alive} it/s={rate:.2f}")
+                if n_dup > cfg.runtime.max_entries:
+                    msg += (f" ENTRY-OVERFLOW {n_dup}>"
+                            f"{cfg.runtime.max_entries} (tail tiles "
+                            "dropped; raise --max_entries)")
                 print(msg, flush=True)
                 if progress_cb:
                     progress_cb(it, log)
@@ -147,6 +152,8 @@ def train_flat(cfg: FullConfig, scene: Scene, coarse: bool = False,
 
 def train_post(cfg: FullConfig, scene: Scene,
                save_iterations: Optional[List[int]] = None,
+               checkpoint_iterations: Optional[List[int]] = None,
+               start_checkpoint: str = "",
                progress_cb: Optional[Callable] = None) -> None:
     """Hierarchy fine-tune (train_post.py:31-198)."""
     opt_cfg = cfg.opt
@@ -169,6 +176,11 @@ def train_post(cfg: FullConfig, scene: Scene,
 
     state = scene.state
     opt = adam_lib.init(state.trainable_dict())
+    first_iter = 0
+    if start_checkpoint:
+        state, opt, _exp, _eo, first_iter = ckpt_lib.load_flat(
+            start_checkpoint, state)
+        print(f"restored checkpoint at iteration {first_iter}")
     nodes = jnp.asarray(h.nodes)
     boxes = jnp.asarray(h.boxes)
     amask = jnp.asarray(scene.anchor_mask)
@@ -181,7 +193,7 @@ def train_post(cfg: FullConfig, scene: Scene,
     pre_exp = scene.pretrained_exposures or {}
 
     try:
-        for it in range(1, opt_cfg.iterations + 1):
+        for it in range(first_iter + 1, opt_cfg.iterations + 1):
             batch_host = next(stream)
             name = scene.image_names[int(batch_host.image_idx)]
             exp_row = jnp.asarray(pre_exp.get(
@@ -207,5 +219,11 @@ def train_post(cfg: FullConfig, scene: Scene,
             if it in save_iterations:
                 path = scene.save(it, state, hierarchy=h)
                 print(f"[{it}] saved -> {path}", flush=True)
+            if checkpoint_iterations and it in checkpoint_iterations:
+                zero_exp = jnp.zeros((1, 3, 4))
+                ckpt_lib.save_flat(
+                    os.path.join(scene.model_path, f"chkpnt{it}.npz"),
+                    state, opt, zero_exp,
+                    adam_lib.init({"exposure": zero_exp}), it)
     finally:
         stream.close()
