@@ -151,3 +151,160 @@ def make_parallel_train_step(opt_cfg: OptimizationConfig,
             n_duplicates=jnp.zeros((), jnp.int32))
 
     return step
+
+
+def make_dp_train_step(opt_cfg: OptimizationConfig,
+                       raster_cfg: RasterizeConfig,
+                       mesh, use_depth_loss: bool = True,
+                       use_exposure: bool = True,
+                       skybox_locked: bool = True,
+                       freeze_xyz: bool = False,
+                       shrink_threshold: float = 0.02,
+                       shrink_protect_scaffold: bool = True,
+                       skip_shrink: bool = False):
+    """View data parallelism via shard_map — the Pallas-kernel-compatible
+    multi-chip step.
+
+    The vmapped step above batches the renderer, which the Pallas custom
+    VJP cannot be vmapped through; here each device runs the plain
+    single-view renderer sequentially over its local views (a lax.scan
+    accumulating gradients), and gradients are psum'd over the "data"
+    axis. Parameters replicated; works with either blend backend.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from .sharding import DATA_AXIS
+
+    def lr_dict(iteration):
+        xyz_lr = schedules.expon_lr(
+            iteration, opt_cfg.position_lr_init, opt_cfg.position_lr_final,
+            lr_delay_mult=opt_cfg.position_lr_delay_mult,
+            max_steps=opt_cfg.position_lr_max_steps)
+        if freeze_xyz:
+            xyz_lr = 0.0
+        return {
+            "xyz": xyz_lr,
+            "f_dc": opt_cfg.feature_lr,
+            "f_rest": opt_cfg.feature_lr / 20.0,
+            "opacity": opt_cfg.opacity_lr,
+            "scaling": opt_cfg.scaling_lr,
+            "rotation": opt_cfg.rotation_lr,
+        }
+
+    @functools.partial(jax.jit, static_argnames=("sh_degree",),
+                       donate_argnames=("state", "opt", "exposure",
+                                        "exposure_opt"))
+    def step(state: GaussianState, opt: adam_lib.AdamState,
+             exposure: jax.Array, exposure_opt: adam_lib.AdamState,
+             batch: ViewBatch, iteration: jax.Array, bg: jax.Array,
+             spatial_lr_scale: jax.Array, cameras_extent: jax.Array,
+             sh_degree: int) -> StepOutput:
+        params = state.trainable_dict()
+        depth_w = schedules.expon_lr(
+            iteration, opt_cfg.depth_l1_weight_init,
+            opt_cfg.depth_l1_weight_final, max_steps=opt_cfg.iterations)
+
+        def view_loss(params, exposure, offset, view: ViewBatch):
+            st = state.replace_trainable(params)
+            exp_row = exposure[view.image_idx] if use_exposure else None
+            out = render_for_training(st, view.camera, sh_degree, bg,
+                                      raster_cfg, means2d_offset=offset,
+                                      exposure=exp_row)
+            image = out["render"] * view.alpha_mask
+            photo = loss_lib.photometric_loss(image, view.gt_image,
+                                              opt_cfg.lambda_dssim)
+            if use_depth_loss:
+                d_l1 = jnp.mean(jnp.abs(out["invdepth"] - view.invdepth)
+                                * view.depth_mask)
+                depth = jnp.where(view.depth_reliable & (depth_w > 0),
+                                  depth_w * d_l1, 0.0)
+            else:
+                depth = jnp.zeros(())
+            aux = (out["radii"], out["visibility_filter"], photo, depth)
+            return photo + depth, aux
+
+        n_total = batch.gt_image.shape[0]
+
+        def local_grads(params, exposure, batch):
+            """Per-device: scan local views, accumulate grads; psum."""
+            offset = jnp.zeros((state.capacity, 2), jnp.float32)
+
+            def body(carry, view):
+                g_acc, stats = carry
+                (g_p, g_e, g_o), aux = jax.grad(
+                    view_loss, argnums=(0, 1, 2), has_aux=True)(
+                        params, exposure, offset, view)
+                radii, visible, photo, depth = aux
+                g_acc = jax.tree.map(jnp.add, g_acc, (g_p, g_e, g_o))
+                stats = (jnp.maximum(stats[0], radii),
+                         stats[1] | visible,
+                         stats[2] + photo, stats[3] + depth)
+                return (g_acc, stats), None
+
+            zero_g = (jax.tree.map(jnp.zeros_like, params),
+                      jnp.zeros_like(exposure),
+                      jnp.zeros((state.capacity, 2), jnp.float32))
+            zero_s = (jnp.zeros(state.capacity, jnp.int32),
+                      jnp.zeros(state.capacity, bool),
+                      jnp.zeros(()), jnp.zeros(()))
+            (g, stats), _ = jax.lax.scan(body, (zero_g, zero_s), batch)
+            g = jax.lax.psum(jax.tree.map(lambda x: x / n_total, g),
+                             DATA_AXIS)
+            radii = jax.lax.pmax(stats[0], DATA_AXIS)
+            visible = jax.lax.pmax(stats[1].astype(jnp.int32),
+                                   DATA_AXIS) > 0
+            photo = jax.lax.psum(stats[2], DATA_AXIS) / n_total
+            depth = jax.lax.psum(stats[3], DATA_AXIS) / n_total
+            return g, (radii, visible, photo, depth)
+
+        batch_spec = jax.tree.map(lambda _: P(DATA_AXIS), batch)
+        (g_params, g_exp, g_offset), aux = jax.shard_map(
+            local_grads,
+            mesh=mesh,
+            in_specs=(P(), P(), batch_spec),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )(params, exposure, batch)
+        radii, visible, photo, depth = aux
+
+        if skybox_locked:
+            locked = state.locked_rows_mask()
+            for k in g_params:
+                m = locked.reshape((-1,) + (1,) * (g_params[k].ndim - 1))
+                g_params[k] = jnp.where(m, 0.0, g_params[k])
+
+        new_state_stats = densify_lib.add_densification_stats(
+            state, g_offset, radii, visible)
+        relevant = (g_params["opacity"][:, 0] != 0.0) & state.alive
+        lrs = lr_dict(iteration)
+        lrs = dict(lrs, xyz=lrs["xyz"] * spatial_lr_scale)
+        new_params, new_opt = adam_lib.sparse_adam_update(
+            params, g_params, opt, lrs, relevant)
+        new_state = new_state_stats.replace_trainable(new_params)
+
+        if use_exposure:
+            exp_lr = schedules.expon_lr(
+                iteration, opt_cfg.exposure_lr_init,
+                opt_cfg.exposure_lr_final,
+                lr_delay_steps=opt_cfg.exposure_lr_delay_steps,
+                lr_delay_mult=opt_cfg.exposure_lr_delay_mult,
+                max_steps=opt_cfg.iterations)
+            all_rows = jnp.ones(exposure.shape[0], bool)
+            new_exp, exposure_opt = adam_lib.sparse_adam_update(
+                {"exposure": exposure}, {"exposure": g_exp},
+                exposure_opt, {"exposure": exp_lr}, all_rows, eps=1e-8)
+            exposure = new_exp["exposure"]
+
+        if not skip_shrink:
+            new_state = densify_lib.shrink_big_gaussians(
+                new_state, cameras_extent, shrink_threshold,
+                protect_scaffold=shrink_protect_scaffold)
+
+        return StepOutput(
+            state=new_state, opt=new_opt, exposure=exposure,
+            exposure_opt=exposure_opt, photo_loss=photo,
+            depth_loss=depth,
+            n_visible=jnp.sum(visible.astype(jnp.int32)),
+            n_duplicates=jnp.zeros((), jnp.int32))
+
+    return step
