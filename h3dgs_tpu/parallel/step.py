@@ -25,7 +25,8 @@ from ..model import densify as densify_lib
 from ..model.state import GaussianState
 from ..ops import adam as adam_lib
 from ..ops.rasterize import RasterizeConfig
-from ..train.step import StepOutput, ViewBatch, render_for_training
+from ..train.step import (StepOutput, ViewBatch, decode_view,
+                          render_for_training)
 from ..utils import losses as loss_lib
 from ..utils import schedules
 from .sharding import TILE_AXIS
@@ -73,6 +74,7 @@ def make_parallel_train_step(opt_cfg: OptimizationConfig,
              batch: ViewBatch, iteration: jax.Array, bg: jax.Array,
              spatial_lr_scale: jax.Array, cameras_extent: jax.Array,
              sh_degree: int) -> StepOutput:
+        batch = decode_view(batch)
         params = state.trainable_dict()
         offset = jnp.zeros((state.capacity, 2), jnp.float32)
         depth_w = schedules.expon_lr(
@@ -199,6 +201,7 @@ def make_dp_train_step(opt_cfg: OptimizationConfig,
              batch: ViewBatch, iteration: jax.Array, bg: jax.Array,
              spatial_lr_scale: jax.Array, cameras_extent: jax.Array,
              sh_degree: int) -> StepOutput:
+        batch = decode_view(batch)
         params = state.trainable_dict()
         depth_w = schedules.expon_lr(
             iteration, opt_cfg.depth_l1_weight_init,

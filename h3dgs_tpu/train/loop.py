@@ -37,16 +37,48 @@ def _device_batch(batch: ViewBatch) -> ViewBatch:
     return jax.tree.map(jnp.asarray, batch)
 
 
+class DevicePrefetcher:
+    """Encode (uint8/f16 wire format) + start the host->device transfer of
+    the NEXT view while the current step computes, hiding upload latency —
+    important on PCIe, decisive on tunneled TPU backends."""
+
+    def __init__(self, stream):
+        from .step import encode_view
+        self.stream = stream
+        self.encode = encode_view
+        self._next = self._launch()
+
+    def _launch(self):
+        host = next(self.stream)
+        dev = jax.tree.map(jnp.asarray, self.encode(host))
+        return host, dev
+
+    def __next__(self):
+        host, dev = self._next
+        self._next = self._launch()   # async transfer overlaps the step
+        return host, dev
+
+
 @dataclasses.dataclass
 class TrainLog:
+    """Deferred-sync loss log: holds device arrays between log points so
+    the hot loop never blocks on a host readback (costly on tunneled TPU
+    backends), and folds them into the EMA lazily."""
     ema_photo: float = 0.0
     ema_depth: float = 0.0
     t_start: float = 0.0
-    n_logged: int = 0
+    _pending: list = dataclasses.field(default_factory=list)
 
     def update(self, photo, depth):
-        self.ema_photo = 0.4 * float(photo) + 0.6 * self.ema_photo
-        self.ema_depth = 0.4 * float(depth) + 0.6 * self.ema_depth
+        self._pending.append((photo, depth))
+        if len(self._pending) > 64:
+            del self._pending[:-8]  # keep the EMA window, drop stale refs
+
+    def sync(self):
+        for photo, depth in self._pending:
+            self.ema_photo = 0.4 * float(photo) + 0.6 * self.ema_photo
+            self.ema_depth = 0.4 * float(depth) + 0.6 * self.ema_depth
+        self._pending.clear()
 
 
 def train_flat(cfg: FullConfig, scene: Scene, coarse: bool = False,
@@ -90,6 +122,7 @@ def train_flat(cfg: FullConfig, scene: Scene, coarse: bool = False,
     extent = jnp.asarray(scene.cameras_extent, jnp.float32)
     spatial_lr = jnp.asarray(scene.cameras_extent, jnp.float32)
     stream = scene.train_stream(num_workers=8)
+    prefetch = DevicePrefetcher(stream)
     rng = jax.random.PRNGKey(0)
     log = TrainLog(t_start=time.time())
 
@@ -97,7 +130,7 @@ def train_flat(cfg: FullConfig, scene: Scene, coarse: bool = False,
         for it in range(first_iter + 1, opt_cfg.iterations + 1):
             if viewer is not None:
                 viewer.poll(state, max_sh, r_cfg, bg)
-            batch = _device_batch(next(stream))
+            _, batch = next(prefetch)
             sh_deg = min(it // 1000, max_sh)
             # Coarse random background per iteration (train_coarse.py:62).
             if coarse:
@@ -125,6 +158,7 @@ def train_flat(cfg: FullConfig, scene: Scene, coarse: bool = False,
                     state, opt = reset_opacity_step(state, opt)
 
             if it % 50 == 0 or it == opt_cfg.iterations:
+                log.sync()
                 n_alive = int(state.n_alive)
                 n_dup = int(out.n_duplicates)
                 rate = it / max(time.time() - log.t_start, 1e-9)
@@ -188,17 +222,17 @@ def train_post(cfg: FullConfig, scene: Scene,
           else jnp.zeros(3, jnp.float32))
     spatial_lr = jnp.asarray(scene.cameras_extent, jnp.float32)
     stream = scene.train_stream(num_workers=8)
+    prefetch = DevicePrefetcher(stream)
     rng = jax.random.PRNGKey(0)
     log = TrainLog(t_start=time.time())
     pre_exp = scene.pretrained_exposures or {}
 
     try:
         for it in range(first_iter + 1, opt_cfg.iterations + 1):
-            batch_host = next(stream)
+            batch_host, batch = next(prefetch)
             name = scene.image_names[int(batch_host.image_idx)]
             exp_row = jnp.asarray(pre_exp.get(
                 name, np.eye(3, 4, dtype=np.float32)))
-            batch = _device_batch(batch_host)
             rng, k = jax.random.split(rng)
             limit = sample_limit(k)
             sh_deg = min(it // 1000, max_sh)
@@ -208,6 +242,7 @@ def train_post(cfg: FullConfig, scene: Scene,
             state, opt = out.state, out.opt
             log.update(out.photo_loss, 0.0)
             if it % 50 == 0 or it == opt_cfg.iterations:
+                log.sync()
                 cut = int(out.cut_size)
                 rate = it / max(time.time() - log.t_start, 1e-9)
                 over = " OVERFLOW" if cut > max_cut else ""

@@ -122,6 +122,8 @@ def make_post_train_step(opt_cfg: OptimizationConfig,
              limit: jax.Array, iteration: jax.Array, bg: jax.Array,
              spatial_lr_scale: jax.Array, sh_degree: int) -> PostStepOutput:
 
+        from .step import decode_view
+        batch = decode_view(batch)
         exp_row = exposure_row if use_exposure else None
 
         def loss_fn(params):

@@ -41,6 +41,35 @@ class ViewBatch(NamedTuple):
     image_idx: jax.Array       # [] int32 (exposure row)
 
 
+def encode_view(batch: ViewBatch) -> ViewBatch:
+    """Compact dtypes for host->device transfer: images/masks as uint8
+    (the PNG sources are 8-bit), inverse depth as f16. Quarters the upload
+    bytes — significant on PCIe, decisive on tunneled TPU backends."""
+    import numpy as np
+
+    def q8(x):
+        return np.clip(np.asarray(x) * 255.0 + 0.5, 0, 255).astype(np.uint8)
+
+    return batch._replace(
+        gt_image=q8(batch.gt_image),
+        alpha_mask=q8(batch.alpha_mask),
+        depth_mask=q8(batch.depth_mask),
+        invdepth=np.asarray(batch.invdepth, np.float16))
+
+
+def decode_view(batch: ViewBatch) -> ViewBatch:
+    """On-device inverse of encode_view; passes f32 batches through."""
+    def dec(x):
+        return (x.astype(jnp.float32) / 255.0
+                if x.dtype == jnp.uint8 else x)
+
+    return batch._replace(
+        gt_image=dec(batch.gt_image),
+        alpha_mask=dec(batch.alpha_mask),
+        depth_mask=dec(batch.depth_mask),
+        invdepth=batch.invdepth.astype(jnp.float32))
+
+
 class StepOutput(NamedTuple):
     state: GaussianState
     opt: adam_lib.AdamState
@@ -114,6 +143,7 @@ def make_train_step(opt_cfg: OptimizationConfig, raster_cfg: RasterizeConfig,
              spatial_lr_scale: jax.Array, cameras_extent: jax.Array,
              sh_degree: int) -> StepOutput:
 
+        batch = decode_view(batch)
         params = state.trainable_dict()
         exp_row = exposure[batch.image_idx] if use_exposure else None
         offset = jnp.zeros((state.capacity, 2), jnp.float32)
