@@ -45,12 +45,18 @@ def _blur(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
     kh = window.reshape(1, 1, -1, 1)
     kv = window.reshape(1, 1, 1, -1)
     dn = jax.lax.conv_dimension_numbers(x.shape, (1, 1, 1, 1), ("NCHW", "OIHW", "NCHW"))
+    # precision pinned to f32: TPU convs default to bf16 inputs, and the
+    # variance terms (blur(x^2) - mu^2) cancel catastrophically on dark /
+    # low-variance images — bf16 noise there produced garbage SSIM
+    # gradients thousands of times too large, silently stalling training.
     x = jax.lax.conv_general_dilated(
         x, jnp.tile(kh, (c, 1, 1, 1)), (1, 1), "SAME",
-        dimension_numbers=dn, feature_group_count=c)
+        dimension_numbers=dn, feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST)
     x = jax.lax.conv_general_dilated(
         x, jnp.tile(kv, (c, 1, 1, 1)), (1, 1), "SAME",
-        dimension_numbers=dn, feature_group_count=c)
+        dimension_numbers=dn, feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST)
     return x[0]
 
 
