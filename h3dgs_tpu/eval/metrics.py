@@ -54,7 +54,8 @@ def _vgg_features(x, w):
             bias = w[f"conv{li}.bias"]
             x = jax.lax.conv_general_dilated(
                 x, k, (1, 1), "SAME",
-                dimension_numbers=("NCHW", "OIHW", "NCHW"))
+                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                precision=jax.lax.Precision.HIGHEST)
             x = jax.nn.relu(x + bias[None, :, None, None])
             li += 1
         feats.append(x)

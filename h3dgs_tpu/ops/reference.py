@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 from ..scene.camera import Camera
@@ -67,7 +68,8 @@ def blend_reference(proj: ProjectedGaussians, camera: Camera,
                             axis=0) > 0
     contrib = jnp.where(terminated, 0.0, alpha * t_exclusive)  # [N, H, W]
 
-    image = jnp.einsum("nhw,nc->chw", contrib, rgb)
+    image = jnp.einsum("nhw,nc->chw", contrib, rgb,
+                       precision=jax.lax.Precision.HIGHEST)
     # Residual transmittance: for terminated pixels it is T at the first
     # skipped Gaussian (CUDA `continue`s without updating T), otherwise the
     # T left after blending the full list.
@@ -77,7 +79,9 @@ def blend_reference(proj: ProjectedGaussians, camera: Camera,
                         t_inclusive[-1])
     image = image + final_t[None] * bg_color[:, None, None]
 
-    invdepth = jnp.einsum("nhw,n->hw", contrib, 1.0 / jnp.maximum(depth, 1e-6))
+    invdepth = jnp.einsum("nhw,n->hw", contrib,
+                          1.0 / jnp.maximum(depth, 1e-6),
+                          precision=jax.lax.Precision.HIGHEST)
     return image, invdepth[None], final_t
 
 
