@@ -39,25 +39,31 @@ def _gaussian_window(window_size: int, sigma: float):
 
 
 def _blur(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
-    """Separable Gaussian blur with SAME padding. img: [C, H, W]."""
-    c = img.shape[0]
-    x = img[None]  # [1, C, H, W]
-    kh = window.reshape(1, 1, -1, 1)
-    kv = window.reshape(1, 1, 1, -1)
-    dn = jax.lax.conv_dimension_numbers(x.shape, (1, 1, 1, 1), ("NCHW", "OIHW", "NCHW"))
-    # precision pinned to f32: TPU convs default to bf16 inputs, and the
-    # variance terms (blur(x^2) - mu^2) cancel catastrophically on dark /
-    # low-variance images — bf16 noise there produced garbage SSIM
-    # gradients thousands of times too large, silently stalling training.
-    x = jax.lax.conv_general_dilated(
-        x, jnp.tile(kh, (c, 1, 1, 1)), (1, 1), "SAME",
-        dimension_numbers=dn, feature_group_count=c,
-        precision=jax.lax.Precision.HIGHEST)
-    x = jax.lax.conv_general_dilated(
-        x, jnp.tile(kv, (c, 1, 1, 1)), (1, 1), "SAME",
-        dimension_numbers=dn, feature_group_count=c,
-        precision=jax.lax.Precision.HIGHEST)
-    return x[0]
+    """Separable Gaussian blur with SAME (zero) padding. img: [C, H, W].
+
+    Implemented as shifted adds on the VPU rather than depthwise
+    convolutions: TPU convs default to bf16 inputs, and the SSIM variance
+    terms (blur(x^2) - mu^2) cancel catastrophically on dark/low-variance
+    images — bf16 noise there produced garbage gradients thousands of
+    times too large, silently stalling training. Shifted adds are exact
+    f32 AND much faster than (f32-pinned) depthwise convs on TPU.
+    """
+    k = window.shape[0]
+    r = k // 2
+    c, h, w = img.shape
+
+    def along(x, axis, size):
+        pad = [(0, 0)] * 3
+        pad[axis] = (r, r)
+        xp = jnp.pad(x, pad)
+        out = jnp.zeros_like(x)
+        for i in range(k):
+            sl = [slice(None)] * 3
+            sl[axis] = slice(i, i + size)
+            out = out + window[i] * xp[tuple(sl)]
+        return out
+
+    return along(along(img, 1, h), 2, w)
 
 
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
