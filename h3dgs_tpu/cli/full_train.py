@@ -203,9 +203,15 @@ def main(argv=None):
                 process_chunk, name, chunks_dir, output_dir, images,
                 depths, masks, args.extra_training_args, args.iterations,
                 True, args.skip_if_exists): name for name in chunk_names}
+            failed = []
             for f in cf.as_completed(futs):
                 if f.result():
                     ok_chunks.append(futs[f])
+                else:
+                    failed.append(futs[f])
+            if failed and not args.keep_running:
+                print(f"chunks failed: {failed}")
+                sys.exit(1)
     else:
         for name in chunk_names:
             if process_chunk(name, chunks_dir, output_dir, images, depths,

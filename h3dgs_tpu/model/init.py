@@ -186,6 +186,9 @@ def init_from_pcd(
 
     if not scaffold_dir and synth_sky > 0:
         opacity = _inverse_sigmoid_np(np.full((n, 1), 0.02, np.float32))
+        # Raw 0.7 in pre-activation space (renders as sigmoid(0.7)=0.668):
+        # the reference does exactly this (gaussian_model.py:199-201) and
+        # scaffold consumers reload the value as-is, so keep the quirk.
         opacity[:synth_sky] = 0.7
     else:
         opacity = _inverse_sigmoid_np(np.full((n, 1), 0.01, np.float32))

@@ -142,6 +142,8 @@ def make_distance_matcher_file(sparse_dir: str, output_path: str,
     centers = camera_centers(images)
     k = min(n_neighbours, len(keys))
     d2 = np.sum((centers[:, None] - centers[None]) ** 2, axis=-1)
+    # [:, 1:k] drops self and yields k-1 neighbors — matching the
+    # reference's NearestNeighbors(k).kneighbors()[..., 1:] behavior.
     nn = np.argsort(d2, axis=1)[:, 1:k]
     matches = []
     for i, key in enumerate(keys):

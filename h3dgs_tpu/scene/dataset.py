@@ -110,7 +110,7 @@ def read_colmap_scene(
     llffhold: Optional[int] = None,
 ) -> SceneInfo:
     sparse = os.path.join(path, "sparse", "0")
-    cams, imgs, _ = colmap_io.read_model(sparse)
+    cams, imgs, pts3d = colmap_io.read_model(sparse)
 
     depths_params: Optional[Dict[str, dict]] = None
     if depths:
@@ -131,7 +131,7 @@ def read_colmap_scene(
         from ..io.ply import read_points3d_ply
         xyz, rgb = read_points3d_ply(ply_path)
     else:
-        pts = colmap_io.read_model(sparse)[2]
+        pts = pts3d
         if pts is not None and pts.ids.size:
             xyz = pts.xyz.astype(np.float32)
             rgb = pts.rgb.astype(np.float32) / 255.0
