@@ -32,19 +32,28 @@ def camera_centers(images: dict) -> np.ndarray:
 
 def compute_rotation_scale(cams: dict, images: dict, pts: C.ColmapPoints3D,
                            target_med_dist: float = 20.0,
-                           upscale: float = 0.0):
-    """(rotation_matrix [3,3] with target axes as columns, upscale)."""
+                           upscale: float = 0.0,
+                           manual_up=None, manual_right=None):
+    """(rotation_matrix [3,3] with target axes as columns, upscale).
+
+    ``manual_up``/``manual_right`` override the automatic axes (the
+    reference's manual reorient.py variant)."""
     from scipy import spatial
 
     centers = camera_centers(images)
-    up = fit_plane_normal(centers)
+    up = (np.asarray(manual_up, float) if manual_up is not None
+          else fit_plane_normal(centers))
+    up = up / np.linalg.norm(up)
 
-    # QJ joggles degenerate (e.g. perfectly coplanar) camera layouts.
-    hull_pts = centers[spatial.ConvexHull(centers,
-                                          qhull_options="QJ").vertices]
-    dmat = spatial.distance_matrix(hull_pts, hull_pts)
-    i, j = np.unravel_index(dmat.argmax(), dmat.shape)
-    right = hull_pts[i] - hull_pts[j]
+    if manual_right is not None:
+        right = np.asarray(manual_right, float)
+    else:
+        # QJ joggles degenerate (e.g. perfectly coplanar) camera layouts.
+        hull_pts = centers[spatial.ConvexHull(centers,
+                                              qhull_options="QJ").vertices]
+        dmat = spatial.distance_matrix(hull_pts, hull_pts)
+        i, j = np.unravel_index(dmat.argmax(), dmat.shape)
+        right = hull_pts[i] - hull_pts[j]
     right = right / np.linalg.norm(right)
 
     forward = np.cross(up, right)
@@ -92,10 +101,12 @@ def apply_rotation_scale(cams: dict, images: dict, pts: C.ColmapPoints3D,
 
 
 def auto_reorient(input_path: str, output_path: str,
-                  target_med_dist: float = 20.0, upscale: float = 0.0):
+                  target_med_dist: float = 20.0, upscale: float = 0.0,
+                  manual_up=None, manual_right=None):
     cams, images, pts = C.read_model(input_path)
     rot, scale = compute_rotation_scale(cams, images, pts,
-                                        target_med_dist, upscale)
+                                        target_med_dist, upscale,
+                                        manual_up, manual_right)
     cams, images, pts = apply_rotation_scale(cams, images, pts, rot, scale)
     C.write_model_binary(output_path, cams, images, pts)
     return rot, scale
@@ -108,9 +119,13 @@ def main(argv=None):
     p.add_argument("--output_path", required=True)
     p.add_argument("--upscale", type=float, default=0)
     p.add_argument("--target_med_dist", type=float, default=20)
+    p.add_argument("--manual_up", nargs=3, type=float, default=None,
+                   help="override the up axis (manual reorient variant)")
+    p.add_argument("--manual_right", nargs=3, type=float, default=None)
     a = p.parse_args(argv)
     rot, scale = auto_reorient(a.input_path, a.output_path,
-                               a.target_med_dist, a.upscale)
+                               a.target_med_dist, a.upscale,
+                               a.manual_up, a.manual_right)
     print(f"reoriented (upscale {scale:.4f}) -> {a.output_path}")
 
 

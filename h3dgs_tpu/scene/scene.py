@@ -47,6 +47,11 @@ class Scene:
         self.anchor_mask = None
         self.hierarchy = None
         if load_iteration is not None:
+            if load_iteration == -1:  # latest (searchForMaxIteration)
+                base = os.path.join(self.model_path, "point_cloud")
+                iters = [int(d.split("_")[-1]) for d in os.listdir(base)
+                         if d.startswith("iteration_")]
+                load_iteration = max(iters)
             pc_dir = os.path.join(self.model_path, "point_cloud",
                                   f"iteration_{load_iteration}")
             self.state = self._load_point_cloud_dir(pc_dir)
