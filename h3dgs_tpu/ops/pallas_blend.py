@@ -56,7 +56,10 @@ R_MX, R_MY, R_CA, R_CB, R_CC, R_R, R_G, R_B, R_OP, R_ID = range(10)
 N_ROWS = 16  # padded to a full sublane tile
 
 # Output rows per chunk/tile: rgb, invdepth, transmittance (pre-background).
+# In the backward cotangent stream the spare rows carry fused suffix
+# constants: G_TOT = sum_ch g_ch*total_ch, G_TFIN = final transmittance.
 O_R, O_G, O_B, O_D, O_T = range(5)
+G_TOT, G_TFIN = 5, 6
 N_OUT = 8
 
 
@@ -167,14 +170,15 @@ def _fwd_kernel(owner_ref, entries_ref, out_ref, trans, term,
     out_ref[0, O_T + 1:, :] = jnp.zeros((N_OUT - O_T - 1, p), jnp.float32)
 
 
-def _bwd_kernel(owner_ref, entries_ref, grads_ref, gtot_ref, dentries_ref,
+def _bwd_kernel(owner_ref, entries_ref, grads_ref, dentries_ref,
                 trans, term, pre, *, tiles_x: int, tile: int, p: int):
     """Per-entry gradients.
 
-    grads_ref: [1, N_OUT, P] per-chunk gathered cotangents (rows 0-3 color
-    + invdepth, row O_T transmittance). gtot_ref: [1, 8, P]; row 0 holds
-    g·total (the fused suffix constant), row 1 holds t_fin.
-    pre: [8, P] scratch — row 0 carries the fused gradient prefix.
+    grads_ref: [1, N_OUT, P] per-chunk gathered cotangents — rows 0-3
+    color + invdepth, row O_T transmittance, and the two spare rows carry
+    the fused suffix constants (row G_TOT = g·total, row G_TFIN = t_fin)
+    so one gather feeds the kernel. pre: [8, P] scratch — row 0 carries
+    the fused gradient prefix.
     """
     c = pl.program_id(0)
     owner, first = _first_of_tile(owner_ref, c)
@@ -216,8 +220,8 @@ def _bwd_kernel(owner_ref, entries_ref, grads_ref, gtot_ref, dentries_ref,
             precision=jax.lax.Precision.HIGHEST)             # [P,E]
         q = contrib * ga
         prefix = pre[0:1, :].T + _cumsum_lanes(q)            # [P,E]
-        g_tot = gtot_ref[0, 0:1, :].T                        # [P,1]
-        t_fin = gtot_ref[0, 1:2, :].T                        # [P,1]
+        g_tot = g[G_TOT:G_TOT + 1, :].T                      # [P,1]
+        t_fin = g[G_TFIN:G_TFIN + 1, :].T                    # [P,1]
         inv_om = 1.0 / jnp.maximum(1.0 - alpha, 1e-12)
         g_t = g[O_T:O_T + 1, :].T                            # [P,1]
         d_alpha = (t_excl * ga - (g_tot - prefix) * inv_om
@@ -276,7 +280,7 @@ def pallas_blend_fwd(packed, owner, *, tiles_x: int, tile: int,
     )(owner, packed)
 
 
-def pallas_blend_bwd(packed, owner, grads_chunks, gtot_chunks, *,
+def pallas_blend_bwd(packed, owner, grads_chunks, *,
                      tiles_x: int, tile: int, cfg: PallasBlendConfig):
     """Per-entry gradient stream [16, D] from per-chunk cotangents."""
     p = tile * tile
@@ -292,7 +296,7 @@ def pallas_blend_bwd(packed, owner, grads_chunks, gtot_chunks, *,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_chunks,),
-            in_specs=[entry_spec, chunk_spec, chunk_spec],
+            in_specs=[entry_spec, chunk_spec],
             out_specs=entry_spec,
             scratch_shapes=[
                 pltpu.VMEM((p, 8), jnp.float32),
@@ -302,7 +306,7 @@ def pallas_blend_bwd(packed, owner, grads_chunks, gtot_chunks, *,
         ),
         out_shape=jax.ShapeDtypeStruct(packed.shape, jnp.float32),
         interpret=cfg.interpret,
-    )(owner, packed, grads_chunks, gtot_chunks)
+    )(owner, packed, grads_chunks)
 
 
 def pack_entries(means2d, conic, rgb, opacity, inv_depth,
@@ -388,14 +392,12 @@ def _blend_bwd(n_tiles, tiles_x, tile, cfg, res, g):
     packed, owner, gauss_idx, out, n = res
     g = jnp.asarray(g, jnp.float32)
     safe_owner = jnp.maximum(owner, 0)
-    grads_chunks = g[safe_owner]                             # [C, 8, P]
-    # Fused suffix constants per tile: g·total (color+invd) and t_fin.
+    # Fused suffix constants ride the spare cotangent rows, so the kernel
+    # needs a single per-chunk gather.
     g_tot = jnp.sum(g[:, O_R:O_D + 1, :] * out[:, O_R:O_D + 1, :], axis=1)
-    gtot_tiles = jnp.zeros_like(out)
-    gtot_tiles = gtot_tiles.at[:, 0, :].set(g_tot)
-    gtot_tiles = gtot_tiles.at[:, 1, :].set(out[:, O_T, :])
-    gtot_chunks = gtot_tiles[safe_owner]
-    dentries = pallas_blend_bwd(packed, owner, grads_chunks, gtot_chunks,
+    g = g.at[:, G_TOT, :].set(g_tot).at[:, G_TFIN, :].set(out[:, O_T, :])
+    grads_chunks = g[safe_owner]                             # [C, 8, P]
+    dentries = pallas_blend_bwd(packed, owner, grads_chunks,
                                 tiles_x=tiles_x, tile=tile, cfg=cfg)
     d_means2d, d_conic, d_rgb, d_opac, d_invd = scatter_entry_grads(
         dentries, gauss_idx, n)
