@@ -19,9 +19,11 @@ the TPU pipeline model:
   * Work is laid out ``[P=tile_pixels (sublanes), E (lanes)]``: per-entry
     scalars broadcast along sublanes, per-pixel coordinates along lanes —
     VPU elementwise math, with color accumulation as an MXU ``[4,E]x[E,P]``
-    contraction. The transmittance recurrence becomes a log-space
-    Hillis-Steele prefix sum along lanes (7 shifted adds — Mosaic has no
-    cumsum lowering and a triangular matmul would occupy the MXU).
+    contraction. The transmittance recurrence becomes a linear-space
+    Hillis-Steele prefix *product* along lanes (alpha <= 0.99 keeps
+    1-alpha in [0.01, 1], so no log/exp round trip is needed; Mosaic has
+    no cumsum/cumprod lowering and a triangular matmul would occupy the
+    MXU).
   * The backward kernel re-walks the same stream (no [T,K,P] intermediates
     saved — the CUDA kernel's re-traversal strategy). All color/depth
     channels collapse into ONE gradient prefix channel via
@@ -89,8 +91,10 @@ def _alpha_terms(e, px, py):
     alpha = jnp.minimum(ALPHA_MAX, alpha_raw)
     ok = (power <= 0.0) & (alpha >= ALPHA_EPS)
     alpha = jnp.where(ok, alpha, 0.0)
-    log_om = jnp.log(jnp.maximum(1.0 - alpha, 1e-12))
-    return alpha, ok, log_om, dx, dy, alpha_raw
+    # alpha <= ALPHA_MAX so om ∈ [0.01, 1]: the linear-space cumprod is
+    # well conditioned (no log/exp round-trip needed on the VPU).
+    om = 1.0 - alpha
+    return alpha, ok, om, dx, dy, alpha_raw
 
 
 def _cumsum_lanes(x):
@@ -107,17 +111,38 @@ def _cumsum_lanes(x):
     return x
 
 
+def _cumprod_lanes(x):
+    """Inclusive prefix product along lanes (Hillis-Steele, identity 1)."""
+    e = x.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    shift = 1
+    while shift < e:
+        rolled = pltpu.roll(x, shift=shift, axis=1)
+        x = x * jnp.where(col >= shift, rolled, 1.0)
+        shift *= 2
+    return x
+
+
+def _shift_right_one(x, fill):
+    """[P,E] -> [P,E] shifted one lane right, lane 0 = fill."""
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(col >= 1, pltpu.roll(x, shift=1, axis=1), fill)
+
+
 def _recurrence(e, trans, term, px, py):
     """Transmittance recurrence for one chunk; returns blend terms."""
-    alpha, ok, log_om, dx, dy, alpha_raw = _alpha_terms(e, px, py)
+    alpha, ok, om, dx, dy, alpha_raw = _alpha_terms(e, px, py)
     t_carry = trans[:, 0:1]                              # [P,1]
-    cum = _cumsum_lanes(log_om)
-    t_incl = t_carry * jnp.exp(cum)
-    t_excl = t_carry * jnp.exp(cum - log_om)
+    cum = _cumprod_lanes(om)                             # prod_{j<=i} om_j
+    t_incl = t_carry * cum
+    t_excl = t_carry * _shift_right_one(cum, 1.0)
     live = (term[:, 0:1] == 0.0) & (t_incl >= TRANSMITTANCE_EPS)
     contrib = jnp.where(live, alpha * t_excl, 0.0)       # [P,E]
-    new_trans = t_carry * jnp.exp(
-        jnp.sum(jnp.where(live, log_om, 0.0), axis=1, keepdims=True))
+    # live lanes are a prefix (t_incl is non-increasing along lanes), so
+    # prod over live om == cum at the last live lane == masked min of the
+    # non-increasing cumprod (Mosaic has no reduce_prod lowering).
+    new_trans = t_carry * jnp.min(jnp.where(live, cum, 1.0), axis=1,
+                                  keepdims=True)
     new_term = jnp.maximum(
         term[:, 0:1],
         (t_incl[:, -1:] < TRANSMITTANCE_EPS).astype(jnp.float32))
