@@ -124,44 +124,51 @@ class AlignedBins(NamedTuple):
 def align_segments(binned: BinnedGaussians, n_tiles: int, max_entries: int,
                    max_per_tile: int, chunk_e: int) -> AlignedBins:
     """Re-layout sorted entries into chunk-aligned per-tile segments."""
-    d = max_entries
-    pos = jnp.arange(d, dtype=jnp.int32)
-    tile_of = jnp.searchsorted(binned.tile_start, pos,
-                               side="right").astype(jnp.int32) - 1
-    tile_of = jnp.clip(tile_of, 0, n_tiles - 1)
     return _aligned_from_sorted(
-        binned.gauss_idx, tile_of, binned.entry_valid, binned.tile_start,
-        binned.tile_count, binned.total_entries, n_tiles, max_per_tile,
-        chunk_e)
+        binned.gauss_idx, binned.tile_start, binned.tile_count,
+        binned.total_entries, n_tiles, max_per_tile, chunk_e)
 
 
-def _aligned_from_sorted(gauss_idx, tile_of, entry_valid, tile_start,
-                         tile_count, total, n_tiles, max_per_tile,
-                         chunk_e) -> AlignedBins:
+def _aligned_from_sorted(gauss_idx, tile_start, tile_count, total, n_tiles,
+                         max_per_tile, chunk_e) -> AlignedBins:
+    """Aligned relayout as per-chunk contiguous slice gathers.
+
+    The sorted->aligned map is piecewise-contiguous (each tile's run just
+    shifts right by its accumulated padding), so every aligned chunk reads
+    ``chunk_e`` *consecutive* sorted entries. That turns the relayout into
+    one sliced gather driven by a per-chunk base — O(n_chunks) index math —
+    instead of a 2M-element scalar scatter (~22 ms on v5e) plus a per-entry
+    tile-table gather (~7 ms)."""
     d = gauss_idx.shape[0]
     count = jnp.minimum(tile_count, max_per_tile)                 # [T]
     aligned = -(-count // chunk_e) * chunk_e                      # [T]
     astart = jnp.cumsum(aligned) - aligned                        # [T]
-
-    # One [T,4] row gather instead of three scalar gathers over D entries
-    # (TPU gathers move rows efficiently; per-element gathers do not).
-    ttab = jnp.stack([tile_start, count, astart,
-                      jnp.zeros_like(count)], axis=1)             # [T, 4]
-    trows = ttab[tile_of]                                          # [D, 4]
-    pos = jnp.arange(d, dtype=jnp.int32)
-    rank = pos - trows[:, 0]
-    ok = entry_valid & (rank < trows[:, 1])
-    dest = jnp.where(ok, trows[:, 2] + rank, d)
-    gauss = jnp.full((d,), -1, jnp.int32).at[dest].set(gauss_idx,
-                                                       mode="drop")
 
     n_chunks = d // chunk_e
     chunk_pos = jnp.arange(n_chunks, dtype=jnp.int32) * chunk_e
     owner = jnp.searchsorted(astart, chunk_pos,
                              side="right").astype(jnp.int32) - 1
     owner_c = jnp.clip(owner, 0, n_tiles - 1)
-    used = chunk_pos < (astart[owner_c] + aligned[owner_c])
+
+    # One [T,4] row table -> one [C,4] row gather for all per-tile lookups.
+    ttab = jnp.stack([tile_start, count, astart,
+                      astart + aligned], axis=1)                  # [T, 4]
+    trows = ttab[owner_c]                                         # [C, 4]
+    used = chunk_pos < trows[:, 3]
     owner = jnp.where(used, owner_c, -1)
+
+    chunk_rank = chunk_pos - trows[:, 2]                          # [C]
+    base = jnp.clip(trows[:, 0] + chunk_rank, 0, d)
+    # Pad so a run ending at d never clips its slice (clipping would shift
+    # the slice against the rank mask and duplicate earlier entries).
+    gpad = jnp.concatenate([gauss_idx,
+                            jnp.full((chunk_e,), -1, gauss_idx.dtype)])
+    rows = jax.vmap(
+        lambda b: jax.lax.dynamic_slice(gpad, (b,), (chunk_e,)))(base)
+    lane = jnp.arange(chunk_e, dtype=jnp.int32)
+    ok = used[:, None] & ((chunk_rank[:, None] + lane[None, :])
+                          < trows[:, 1:2])
+    gauss = jnp.where(ok, rows, -1).reshape(d)
     return AlignedBins(
         gauss_idx=gauss, owner=owner,
         tile_start=astart.astype(jnp.int32),
@@ -208,20 +215,46 @@ def bin_gaussians_aligned(proj: ProjectedGaussians, height: int, width: int,
     entry_valid = (owner_g > 0) & (jnp.arange(d) < jnp.minimum(total, d))
     gauss = jnp.maximum(owner_g - 1, 0)
 
-    # Batch all per-Gaussian lookups into one [N,8] row gather.
-    depth_bits = jax.lax.bitcast_convert_type(
-        jnp.maximum(proj.depth, 0.0).astype(jnp.float32), jnp.int32)
+    # Tight tile culling bound: for conic Q, alpha anywhere in a tile box is
+    # <= opac * exp(-0.5 * lam_min(Q) * d_e^2) with d_e the Euclidean
+    # clamp distance from the mean to the box. Entries with that bound
+    # below 1/255 contribute *exactly zero* in the blend (the kernel skips
+    # alpha < 1/255), so dropping them is lossless — it just shrinks
+    # per-tile lists, which everything downstream scales with. Condition:
+    # d_e^2 > t_cmp = 2*ln(255*opac)/lam_min.
+    ca = proj.conic[:, 0]
+    cb = proj.conic[:, 1]
+    cc = proj.conic[:, 2]
+    lam_min = jnp.maximum(
+        0.5 * (ca + cc) - jnp.sqrt(0.25 * (ca - cc) ** 2 + cb * cb), 1e-12)
+    t_cmp = 2.0 * jnp.log(jnp.maximum(255.0 * proj.opacity, 1e-12)) / lam_min
+
+    # Batch all per-Gaussian lookups into one [N,8] row gather. Float rows
+    # ride as bitcast int32.
+    def fbits(v):
+        return jax.lax.bitcast_convert_type(v.astype(jnp.float32), jnp.int32)
+    depth_bits = fbits(jnp.maximum(proj.depth, 0.0))
     gtab = jnp.stack([rect_min_x, rect_min_y,
                       jnp.maximum(span_x, 1), offsets.astype(jnp.int32),
                       depth_bits,
-                      jnp.zeros_like(rect_min_x), jnp.zeros_like(rect_min_x),
-                      jnp.zeros_like(rect_min_x)], axis=1)       # [N, 8]
+                      fbits(proj.means2d[:, 0]), fbits(proj.means2d[:, 1]),
+                      fbits(t_cmp)], axis=1)                     # [N, 8]
     grows = gtab[gauss]                                           # [D, 8]
+
+    def funbits(v):
+        return jax.lax.bitcast_convert_type(v, jnp.float32)
 
     j = jnp.arange(d, dtype=jnp.int32) - grows[:, 3]
     tx = grows[:, 0] + j % grows[:, 2]
     ty = grows[:, 1] + j // grows[:, 2]
-    tile_id = jnp.where(entry_valid, ty * tiles_x + tx, n_tiles)
+    mx = funbits(grows[:, 5])
+    my = funbits(grows[:, 6])
+    x0 = (tx * tile).astype(mx.dtype)
+    y0 = (ty * tile).astype(my.dtype)
+    dxe = jnp.maximum(jnp.maximum(x0 - mx, mx - (x0 + (tile - 1))), 0.0)
+    dye = jnp.maximum(jnp.maximum(y0 - my, my - (y0 + (tile - 1))), 0.0)
+    keep = (dxe * dxe + dye * dye) <= funbits(grows[:, 7])
+    tile_id = jnp.where(entry_valid & keep, ty * tiles_x + tx, n_tiles)
 
     # Two-key sort: tile id major, positive-f32 depth *bits* minor (order-
     # preserving as int32, avoiding an f32 comparator); single payload.
@@ -234,8 +267,6 @@ def bin_gaussians_aligned(proj: ProjectedGaussians, height: int, width: int,
     tile_end = jnp.searchsorted(sorted_tile, tile_range,
                                 side="right").astype(jnp.int32)
     return _aligned_from_sorted(
-        sorted_gauss.astype(jnp.int32),
-        jnp.clip(sorted_tile, 0, n_tiles - 1),
-        sorted_tile < n_tiles, tile_start,
+        sorted_gauss.astype(jnp.int32), tile_start,
         (tile_end - tile_start).astype(jnp.int32),
         jnp.asarray(total, jnp.int32), n_tiles, max_per_tile, chunk_e)

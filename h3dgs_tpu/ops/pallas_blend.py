@@ -409,6 +409,11 @@ def _blend_fwd(means2d, conic, rgb, opacity, inv_depth, owner, gauss_idx,
     packed = pack_entries(means2d, conic, rgb, opacity, inv_depth, gauss_idx)
     chunk_out = pallas_blend_fwd(packed, owner, tiles_x=tiles_x, tile=tile,
                                  cfg=cfg)
+    # Defensive (axon backend): keep XLA from fusing the segment-sum into
+    # the pallas output — one observed miscompile produced black tile runs
+    # for a specific fused executable (bit-identical per compile, absent
+    # un-jitted and in interpret mode).
+    chunk_out = jax.lax.optimization_barrier(chunk_out)
     out = _combine_chunks(chunk_out, owner, last_chunk, n_tiles)
     return out, (packed, owner, gauss_idx, out, means2d.shape[0])
 
