@@ -74,9 +74,21 @@ class RuntimeConfig:
     """TPU-build knobs with no reference counterpart."""
     # Rasterizer shapes (see ops/rasterize.RasterizeConfig).
     tile: int = 16
-    max_entries: int = 1 << 21
+    # Cap for the (adaptive) entry budget. Must hold the chunk-padded
+    # aligned stream too: ~2.6M slots for a dense 1080p view at
+    # chunk_e=256, hence 4M rather than the raw-duplicate 2M.
+    max_entries: int = 1 << 22
     max_per_tile: int = 1024
     blend_chunk: int = 32
+    # Pallas blend entries per grid step. Measured on v5e: 256 beats 128
+    # and 512 at equal-validity budgets (grid-step overhead dominates
+    # below, aligned-padding blowup above). The aligned stream needs
+    # sum(ceil(count_t/chunk_e))*chunk_e slots; the adaptive budget
+    # tracks that need.
+    chunk_e: int = 256
+    # Follow the observed per-view duplicate count with a bucketed entry
+    # budget (train/loop._entry_bucket); max_entries becomes the cap.
+    adaptive_entries: bool = True
     # Model capacity: fixed Gaussian slot count (densify headroom factor
     # applied to the initial point count when capacity == 0).
     capacity: int = 0

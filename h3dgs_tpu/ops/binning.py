@@ -119,6 +119,11 @@ class AlignedBins(NamedTuple):
     tile_start: jnp.ndarray  # [T] int32 (aligned)
     tile_count: jnp.ndarray  # [T] int32 (true, clamped to max_per_tile)
     total_entries: jnp.ndarray  # [] int32 pre-clamp duplicate count
+    # [] int32: chunk-padded slot count the aligned layout *needs*. If this
+    # exceeds the buffer, trailing tiles lose their chunks (their entries
+    # are dropped) — budget pressure must be judged on
+    # max(total_entries, aligned_entries), not total_entries alone.
+    aligned_entries: jnp.ndarray
 
 
 def align_segments(binned: BinnedGaussians, n_tiles: int, max_entries: int,
@@ -173,7 +178,8 @@ def _aligned_from_sorted(gauss_idx, tile_start, tile_count, total, n_tiles,
         gauss_idx=gauss, owner=owner,
         tile_start=astart.astype(jnp.int32),
         tile_count=count.astype(jnp.int32),
-        total_entries=total)
+        total_entries=total,
+        aligned_entries=(astart[-1] + aligned[-1]).astype(jnp.int32))
 
 
 def bin_gaussians_aligned(proj: ProjectedGaussians, height: int, width: int,

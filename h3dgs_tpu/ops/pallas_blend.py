@@ -19,11 +19,10 @@ the TPU pipeline model:
   * Work is laid out ``[P=tile_pixels (sublanes), E (lanes)]``: per-entry
     scalars broadcast along sublanes, per-pixel coordinates along lanes —
     VPU elementwise math, with color accumulation as an MXU ``[4,E]x[E,P]``
-    contraction. The transmittance recurrence becomes a linear-space
-    Hillis-Steele prefix *product* along lanes (alpha <= 0.99 keeps
-    1-alpha in [0.01, 1], so no log/exp round trip is needed; Mosaic has
-    no cumsum/cumprod lowering and a triangular matmul would occupy the
-    MXU).
+    contraction. The transmittance recurrence runs as a log-space prefix
+    sum computed on the MXU (one [P,E]x[E,E] triangular matmul,
+    _prefix_lanes) — the MXU is near-idle here while the VPU is the
+    bottleneck, and Mosaic has no native cumsum/cumprod lowering.
   * The backward kernel re-walks the same stream (no [T,K,P] intermediates
     saved — the CUDA kernel's re-traversal strategy). All color/depth
     channels collapse into ONE gradient prefix channel via
@@ -91,58 +90,41 @@ def _alpha_terms(e, px, py):
     alpha = jnp.minimum(ALPHA_MAX, alpha_raw)
     ok = (power <= 0.0) & (alpha >= ALPHA_EPS)
     alpha = jnp.where(ok, alpha, 0.0)
-    # alpha <= ALPHA_MAX so om ∈ [0.01, 1]: the linear-space cumprod is
-    # well conditioned (no log/exp round-trip needed on the VPU).
+    # alpha <= ALPHA_MAX so om ∈ [0.01, 1]: log(om) needs no clamp and the
+    # exp/div round trip below is well conditioned.
     om = 1.0 - alpha
     return alpha, ok, om, dx, dy, alpha_raw
 
 
-def _cumsum_lanes(x):
-    """Inclusive prefix sum along lanes: Hillis-Steele with circular rolls
-    masked by lane index (Mosaic has no cumsum lowering; this stays on the
-    VPU and keeps the MXU free for the color contraction)."""
+def _prefix_lanes(x):
+    """Inclusive prefix sum along lanes as an MXU contraction with a
+    triangular ones matrix. The MXU is otherwise idle during the
+    recurrence, and one [P,E]x[E,E] HIGHEST-precision matmul replaces
+    ~30 masked-roll VPU ops per element (Mosaic has no cumsum lowering;
+    Hillis-Steele on the VPU was the kernel's single largest cost)."""
     e = x.shape[1]
-    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    shift = 1
-    while shift < e:
-        rolled = pltpu.roll(x, shift=shift, axis=1)
-        x = x + jnp.where(col >= shift, rolled, 0.0)
-        shift *= 2
-    return x
-
-
-def _cumprod_lanes(x):
-    """Inclusive prefix product along lanes (Hillis-Steele, identity 1)."""
-    e = x.shape[1]
-    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    shift = 1
-    while shift < e:
-        rolled = pltpu.roll(x, shift=shift, axis=1)
-        x = x * jnp.where(col >= shift, rolled, 1.0)
-        shift *= 2
-    return x
-
-
-def _shift_right_one(x, fill):
-    """[P,E] -> [P,E] shifted one lane right, lane 0 = fill."""
-    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    return jnp.where(col >= 1, pltpu.roll(x, shift=1, axis=1), fill)
+    row = jax.lax.broadcasted_iota(jnp.int32, (e, e), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (e, e), 1)
+    u = (row <= col).astype(x.dtype)
+    return jax.lax.dot_general(x, u, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
 
 
 def _recurrence(e, trans, term, px, py):
     """Transmittance recurrence for one chunk; returns blend terms."""
     alpha, ok, om, dx, dy, alpha_raw = _alpha_terms(e, px, py)
     t_carry = trans[:, 0:1]                              # [P,1]
-    cum = _cumprod_lanes(om)                             # prod_{j<=i} om_j
-    t_incl = t_carry * cum
-    t_excl = t_carry * _shift_right_one(cum, 1.0)
+    cum = _prefix_lanes(jnp.log(om))                     # sum_{j<=i} log om_j
+    t_incl = t_carry * jnp.exp(cum)
+    t_excl = t_incl / om                                 # om >= 0.01
     live = (term[:, 0:1] == 0.0) & (t_incl >= TRANSMITTANCE_EPS)
     contrib = jnp.where(live, alpha * t_excl, 0.0)       # [P,E]
     # live lanes are a prefix (t_incl is non-increasing along lanes), so
-    # prod over live om == cum at the last live lane == masked min of the
-    # non-increasing cumprod (Mosaic has no reduce_prod lowering).
-    new_trans = t_carry * jnp.min(jnp.where(live, cum, 1.0), axis=1,
-                                  keepdims=True)
+    # the post-chunk transmittance is t_incl at the last live lane ==
+    # masked min (t_carry when nothing is live).
+    new_trans = jnp.min(jnp.where(live, t_incl, t_carry), axis=1,
+                        keepdims=True)
     new_term = jnp.maximum(
         term[:, 0:1],
         (t_incl[:, -1:] < TRANSMITTANCE_EPS).astype(jnp.float32))
@@ -244,7 +226,7 @@ def _bwd_kernel(owner_ref, entries_ref, grads_ref, dentries_ref,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)             # [P,E]
         q = contrib * ga
-        prefix = pre[0:1, :].T + _cumsum_lanes(q)            # [P,E]
+        prefix = pre[0:1, :].T + _prefix_lanes(q)            # [P,E]
         g_tot = g[G_TOT:G_TOT + 1, :].T                      # [P,1]
         t_fin = g[G_TFIN:G_TFIN + 1, :].T                    # [P,1]
         inv_om = 1.0 / jnp.maximum(1.0 - alpha, 1e-12)

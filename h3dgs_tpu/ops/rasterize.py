@@ -224,8 +224,13 @@ def blend_tiles_pallas(proj: ProjectedGaussians, height: int, width: int,
         interpret=not _on_tpu())
     inv_depth = 1.0 / jnp.maximum(proj.depth, 1e-6)
     n_chunk_per_tile = -(-bins.tile_count // config.chunk_e)
+    # Tiles whose aligned run overflows the buffer lost their chunks —
+    # treat them as empty (background) rather than gathering another
+    # tile's transmittance.
+    fits = (bins.tile_start + n_chunk_per_tile * config.chunk_e
+            <= config.max_entries)
     last_chunk = jnp.where(
-        bins.tile_count > 0,
+        (bins.tile_count > 0) & fits,
         bins.tile_start // config.chunk_e + n_chunk_per_tile - 1, -1)
     out = blend_entries(proj.means2d, proj.conic, proj.rgb, proj.opacity,
                         inv_depth, bins.owner, bins.gauss_idx,
@@ -248,7 +253,10 @@ def blend_tiles_pallas(proj: ProjectedGaussians, height: int, width: int,
     final_t = untile(trans[:, None, :], 1)[0]
     image, invdepth, final_t = jax.lax.optimization_barrier(
         (image, invdepth, final_t))
-    return image, invdepth, final_t, bins.total_entries
+    # Budget pressure = worst of raw duplicates and chunk-padded aligned
+    # slots: either exceeding max_entries drops tail entries/tiles.
+    n_need = jnp.maximum(bins.total_entries, bins.aligned_entries)
+    return image, invdepth, final_t, n_need
 
 
 def rasterize(

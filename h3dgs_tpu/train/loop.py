@@ -30,7 +30,23 @@ def raster_config(cfg: FullConfig) -> RasterizeConfig:
     r = cfg.runtime
     return RasterizeConfig(tile=r.tile, max_entries=r.max_entries,
                            max_per_tile=r.max_per_tile,
-                           chunk=r.blend_chunk)
+                           chunk=r.blend_chunk, chunk_e=r.chunk_e)
+
+
+def _entry_bucket(n_dup: int, floor: int, cap: int) -> int:
+    """Quarter-ladder entry budget (5/6/7/8 * 2^k) with 1.2x headroom over
+    the observed need (max of raw duplicates and aligned slots). Every
+    per-entry cost in the rasterizer (binning sort, pack, blend grid,
+    gradient scatter) scales with the *budget*, not the actual count — the
+    CUDA reference allocates exactly; the static-shape equivalent is a
+    small bucket ladder with bounded recompiles."""
+    need = int(1.2 * max(n_dup, 1))
+    p = 1 << max(need - 1, 1).bit_length()       # pow2 >= need
+    for frac in (5, 6, 7):                       # quarter ladder, chunk-even
+        if (p // 8) * frac >= need:
+            p = (p // 8) * frac
+            break
+    return min(max(p, floor), cap)
 
 
 def _device_batch(batch: ViewBatch) -> ViewBatch:
@@ -97,15 +113,26 @@ def train_flat(cfg: FullConfig, scene: Scene, coarse: bool = False,
     max_sh = 1 if coarse else cfg.model.sh_degree
     save_iterations = save_iterations or [opt_cfg.iterations]
 
-    step = make_train_step(
-        opt_cfg, r_cfg,
-        use_depth_loss=not coarse,
-        use_exposure=not coarse,
-        skybox_locked=cfg.model.skybox_locked or coarse,
-        freeze_xyz=coarse,
-        shrink_threshold=0.1 if coarse else 0.02,
-        shrink_protect_scaffold=True,
-        skip_shrink=cfg.model.skip_scale_big_gauss)
+    def build_step(rc: RasterizeConfig):
+        return make_train_step(
+            opt_cfg, rc,
+            use_depth_loss=not coarse,
+            use_exposure=not coarse,
+            skybox_locked=cfg.model.skybox_locked or coarse,
+            freeze_xyz=coarse,
+            shrink_threshold=0.1 if coarse else 0.02,
+            shrink_protect_scaffold=True,
+            skip_shrink=cfg.model.skip_scale_big_gauss)
+
+    # Adaptive entry budget: start one bucket down from the cap and follow
+    # the observed duplicate count (see _entry_bucket). Grows immediately
+    # on pressure, shrinks only after a sustained quiet window.
+    entry_cap = cfg.runtime.max_entries
+    entry_floor = min(1 << 17, entry_cap)
+    if cfg.runtime.adaptive_entries:
+        r_cfg = r_cfg._replace(max_entries=max(entry_cap // 2, entry_floor))
+    step = build_step(r_cfg)
+    shrink_votes = 0
 
     state = scene.state
     opt = adam_lib.init(state.trainable_dict())
@@ -125,6 +152,9 @@ def train_flat(cfg: FullConfig, scene: Scene, coarse: bool = False,
     prefetch = DevicePrefetcher(stream)
     rng = jax.random.PRNGKey(0)
     log = TrainLog(t_start=time.time())
+    # Device-side running max of duplicate counts: tracked every iteration
+    # without a host sync, read only at log points.
+    ndup_max = jnp.int32(0)
 
     try:
         for it in range(first_iter + 1, opt_cfg.iterations + 1):
@@ -144,6 +174,7 @@ def train_flat(cfg: FullConfig, scene: Scene, coarse: bool = False,
             state, opt = out.state, out.opt
             exposure, exp_opt = out.exposure, out.exposure_opt
             log.update(out.photo_loss, out.depth_loss)
+            ndup_max = jnp.maximum(ndup_max, out.n_duplicates)
 
             if not coarse and it < opt_cfg.densify_until_iter:
                 if (it > opt_cfg.densify_from_iter
@@ -160,17 +191,36 @@ def train_flat(cfg: FullConfig, scene: Scene, coarse: bool = False,
             if it % 50 == 0 or it == opt_cfg.iterations:
                 log.sync()
                 n_alive = int(state.n_alive)
-                n_dup = int(out.n_duplicates)
+                n_dup = int(ndup_max)      # window max, not last view
+                ndup_max = jnp.int32(0)
                 rate = it / max(time.time() - log.t_start, 1e-9)
                 msg = (f"[{it}/{opt_cfg.iterations}] "
                        f"loss={log.ema_photo:.5f} "
                        f"depth={log.ema_depth:.5f} "
                        f"alive={n_alive} it/s={rate:.2f}")
-                if n_dup > cfg.runtime.max_entries:
-                    msg += (f" ENTRY-OVERFLOW {n_dup}>"
-                            f"{cfg.runtime.max_entries} (tail tiles "
-                            "dropped; raise --max_entries)")
+                if n_dup > entry_cap:
+                    msg += (f" ENTRY-OVERFLOW {n_dup}>{entry_cap} "
+                            "(tail tiles dropped; raise --max_entries)")
                 print(msg, flush=True)
+                if cfg.runtime.adaptive_entries:
+                    want = _entry_bucket(n_dup, entry_floor, entry_cap)
+                    cur = r_cfg.max_entries
+                    if want > cur:
+                        shrink_votes = 0
+                        r_cfg = r_cfg._replace(max_entries=want)
+                        step = build_step(r_cfg)
+                        print(f"[{it}] entry budget {cur} -> {want}",
+                              flush=True)
+                    elif want < cur:
+                        shrink_votes += 1
+                        if shrink_votes >= 6:
+                            shrink_votes = 0
+                            r_cfg = r_cfg._replace(max_entries=want)
+                            step = build_step(r_cfg)
+                            print(f"[{it}] entry budget {cur} -> {want}",
+                                  flush=True)
+                    else:
+                        shrink_votes = 0
                 if progress_cb:
                     progress_cb(it, log)
             if it in save_iterations:

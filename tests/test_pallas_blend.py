@@ -83,3 +83,28 @@ def test_pallas_screenspace_grads():
     scale = np.abs(g_x).max() + 1e-8
     np.testing.assert_allclose(g_p / scale, g_x / scale, atol=5e-4)
     assert np.abs(g_x).max() > 0
+
+
+def test_aligned_overflow_accounting():
+    """When the chunk-padded aligned stream exceeds max_entries, the need
+    is reported via n_duplicates and overflowed tiles degrade to clean
+    background instead of gathering another tile's transmittance."""
+    params, cam, bg = _scene(n=200, seed=4)
+    big = R.rasterize(*params, cam, 1, bg, config=PL_CFG)
+    need = int(big["n_duplicates"])
+    assert need > 0
+
+    # A buffer far below the aligned need: must report the true need.
+    tiny = PL_CFG._replace(max_entries=1 << 9, chunk_e=128)
+    out = R.rasterize(*params, cam, 1, bg, config=tiny)
+    assert int(out["n_duplicates"]) >= need
+    img = np.asarray(out["render"])
+    full = np.asarray(big["render"])
+    h, w = img.shape[1:]
+    bgc = np.asarray(bg)[:, None, None]
+    # Every pixel is either (nearly) the full render (tile fit) or the
+    # pure background (tile dropped) — never garbage.
+    is_bg = np.all(np.abs(img - bgc) < 1e-5, axis=0)
+    is_full = np.all(np.abs(img - full) < 1e-4, axis=0)
+    assert np.all(is_bg | is_full)
+    assert is_bg.any()
