@@ -259,6 +259,22 @@ def blend_tiles_pallas(proj: ProjectedGaussians, height: int, width: int,
     return image, invdepth, final_t, n_need
 
 
+def blend_auto(proj: ProjectedGaussians, height: int, width: int, bg_color,
+               config: RasterizeConfig):
+    """Backend-dispatching blend of projected Gaussians into an image.
+
+    Returns (image [3,H,W], invdepth [1,H,W], final_T [H,W], n_need []).
+    """
+    if _use_pallas(config):
+        return blend_tiles_pallas(proj, height, width,
+                                  jnp.asarray(bg_color), config)
+    binned = bin_gaussians(proj, height, width, config.max_entries,
+                           config.tile)
+    image, invdepth, final_t = blend_tiles(
+        proj, binned, height, width, jnp.asarray(bg_color), config)
+    return image, invdepth, final_t, binned.total_entries
+
+
 def rasterize(
     means3d, scales, quats, opacities, shs, camera: Camera, sh_degree: int,
     bg_color, scale_modifier: float = 1.0,
@@ -281,17 +297,8 @@ def rasterize(
                              colors_precomp=colors_precomp)
     if means2d_offset is not None:
         proj = proj._replace(means2d=proj.means2d + means2d_offset)
-    if _use_pallas(config):
-        image, invdepth, final_t, n_dup = blend_tiles_pallas(
-            proj, camera.height, camera.width, jnp.asarray(bg_color),
-            config)
-    else:
-        binned = bin_gaussians(proj, camera.height, camera.width,
-                               config.max_entries, config.tile)
-        image, invdepth, final_t = blend_tiles(
-            proj, binned, camera.height, camera.width,
-            jnp.asarray(bg_color), config)
-        n_dup = binned.total_entries
+    image, invdepth, final_t, n_dup = blend_auto(
+        proj, camera.height, camera.width, bg_color, config)
     return {
         "render": image,
         "invdepth": invdepth,

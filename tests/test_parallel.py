@@ -97,3 +97,30 @@ def test_data_sharded_batch_is_distributed():
     x = jnp.ones((2, 3, 32, 48))
     xs = jax.device_put(x, shard_lib.data_sharded(mesh, x.ndim))
     assert len(xs.sharding.device_set) == 8
+
+
+def test_banded_render_matches_single_device():
+    """Pixel-band sharded rendering == full-frame render (tile-aligned
+    bands reproduce the exact per-tile entry lists)."""
+    from h3dgs_tpu.parallel.band_render import render_banded
+    from .utils import make_test_camera, random_scene
+
+    means, scales, quats, opac, shs = random_scene(120, seed=7, sh_degree=1)
+    cam = make_test_camera(width=64, height=64)
+    bg = jnp.asarray([0.2, 0.1, 0.3], jnp.float32)
+    cfg = RasterizeConfig(max_entries=1 << 12, max_per_tile=256)
+
+    ref = rasterize(means, scales, quats, opac, shs, cam, 1, bg, config=cfg)
+
+    mesh = shard_lib.make_mesh(n_data=1, n_tile=4)
+    out = render_banded(means, scales, quats, opac, shs, cam, 1, bg,
+                        mesh, shard_lib.TILE_AXIS, config=cfg)
+    np.testing.assert_allclose(np.asarray(out["render"]),
+                               np.asarray(ref["render"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["invdepth"]),
+                               np.asarray(ref["invdepth"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["final_transmittance"]),
+                               np.asarray(ref["final_transmittance"]),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out["visibility_filter"]),
+                                  np.asarray(ref["visibility_filter"]))
