@@ -55,13 +55,17 @@ def render_cut(state: GaussianState, nodes: jax.Array, boxes: jax.Array,
                camera: Camera, limit: jax.Array, sh_degree: int,
                bg: jax.Array, raster_cfg: RasterizeConfig, max_cut: int,
                exposure: Optional[jax.Array] = None,
-               params: Optional[dict] = None):
+               params: Optional[dict] = None,
+               mesh=None, band_axis: Optional[str] = None):
     """Select cut -> interpolate -> splat (render_post equivalent).
 
     ``params`` overrides the trainable dict (used by the training step so
     gradients flow); rows [0, M) are hierarchy nodes, trailing
     ``state.n_skybox`` rows are appended verbatim with weight 1
     (gaussian_renderer/__init__.py:220-234).
+
+    ``mesh``/``band_axis``: shard the splat into pixel bands across the
+    mesh axis (parallel.band_render) — the multi-chip interactive path.
     """
     if params is None:
         params = state.trainable_dict()
@@ -80,8 +84,14 @@ def render_cut(state: GaussianState, nodes: jax.Array, boxes: jax.Array,
                                  params["f_rest"][sky]], axis=1)
         shs = jnp.concatenate([shs, feats])
     k = (sh_degree + 1) ** 2
-    out = rasterize(xyz, scales, quats, opac, shs[:, :k], camera, sh_degree,
-                    bg, config=raster_cfg)
+    if mesh is not None:
+        from ..parallel.band_render import render_banded
+        out = render_banded(xyz, scales, quats, opac, shs[:, :k], camera,
+                            sh_degree, bg, mesh, band_axis,
+                            config=raster_cfg)
+    else:
+        out = rasterize(xyz, scales, quats, opac, shs[:, :k], camera,
+                        sh_degree, bg, config=raster_cfg)
     if exposure is not None:
         out["render"] = apply_exposure(out["render"], exposure)
     out["render"] = jnp.clip(out["render"], 0.0, 1.0)

@@ -36,7 +36,7 @@ class HierarchyRenderer:
     def __init__(self, hierarchy_path: str, scaffold_dir: str = "",
                  sh_degree: int = 3, budget: int = 1 << 20,
                  raster_cfg: Optional[RasterizeConfig] = None,
-                 white_background: bool = False):
+                 white_background: bool = False, n_bands: int = 0):
         self.h = read_hier(hierarchy_path)
         self.state, _ = state_from_hierarchy(self.h, scaffold_dir,
                                              max_sh_degree=sh_degree)
@@ -48,6 +48,15 @@ class HierarchyRenderer:
             max_entries=1 << 21, max_per_tile=4096)
         self.bg = (jnp.ones(3, jnp.float32) if white_background
                    else jnp.zeros(3, jnp.float32))
+        # Pixel-band sharding across local devices for single-frame
+        # latency (n_bands=0: all devices; 1: single-device).
+        self.mesh = self.band_axis = None
+        avail = len(jax.devices())
+        n_bands = avail if n_bands == 0 else min(n_bands, avail)
+        if n_bands > 1:
+            from ..parallel import sharding as shard_lib
+            self.mesh = shard_lib.make_mesh(n_data=1, n_tile=n_bands)
+            self.band_axis = shard_lib.TILE_AXIS
 
         @jax.jit
         def cut_size(limit, cam_center):
@@ -65,7 +74,8 @@ class HierarchyRenderer:
             def run(camera, limit):
                 out = render_cut(self.state, self.nodes, self.boxes,
                                  camera, limit, self.sh_degree, self.bg,
-                                 self.raster_cfg, max_cut=self.budget)
+                                 self.raster_cfg, max_cut=self.budget,
+                                 mesh=self.mesh, band_axis=self.band_axis)
                 return out["render"], out["cut"].count
             self._render_jit[key] = run
         return self._render_jit[key]
@@ -152,8 +162,12 @@ def main(argv=None):
     p.add_argument("--n_frames", type=int, default=60)
     p.add_argument("--radius", type=float, default=50.0)
     p.add_argument("--width", type=int, default=1200)
+    p.add_argument("--n_bands", type=int, default=0,
+                   help="pixel bands sharded across devices "
+                        "(0 = all local devices, 1 = single device)")
     a = p.parse_args(argv)
-    r = HierarchyRenderer(a.hierarchy, a.scaffold_file, budget=a.budget)
+    r = HierarchyRenderer(a.hierarchy, a.scaffold_file, budget=a.budget,
+                          n_bands=a.n_bands)
     if a.orbit_dir:
         orbit(r, a.orbit_dir, n_frames=a.n_frames, radius=a.radius,
               tau=a.tau, width=a.width,
