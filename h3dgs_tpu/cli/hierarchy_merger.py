@@ -18,10 +18,11 @@ import sys
 
 
 def merge_chunks(trained_dir: str, chunks_dir: str, output: str,
-                 names: list) -> str:
+                 names: list, backend: str = "auto") -> str:
     from ..hierarchy.io import read_hier, write_hier
     from ..hierarchy.merge import merge_hierarchies
     from ..io.meta import read_vec
+    from ..native import load_native
 
     hs, centers, extents = [], [], []
     for name in names:
@@ -35,7 +36,15 @@ def merge_chunks(trained_dir: str, chunks_dir: str, output: str,
         extents.append(read_vec(os.path.join(cdir, "extent.txt")))
         print(f"chunk {name}: {hs[-1].n_nodes} nodes from {path}")
 
-    merged = merge_hierarchies(hs, centers, extents)
+    lib = load_native()
+    use_native = (backend == "native"
+                  or (backend == "auto" and lib is not None
+                      and hasattr(lib, "h3dgs_merge_hierarchies")))
+    if use_native:
+        from ..native import merge_hierarchies_native
+        merged = merge_hierarchies_native(hs, centers, extents)
+    else:
+        merged = merge_hierarchies(hs, centers, extents)
     os.makedirs(os.path.dirname(output) or ".", exist_ok=True)
     write_hier(output, merged)
     print(f"merged hierarchy: {merged.n_nodes} nodes "

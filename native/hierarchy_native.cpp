@@ -362,4 +362,253 @@ int64_t h3dgs_build_hierarchy(
   return m;
 }
 
+// Cross-chunk consolidation: the C++ counterpart of
+// h3dgs_tpu/hierarchy/merge.py (same algorithm, bit-compatible outputs) —
+// the role the reference fills with its native GaussianHierarchyMerger
+// executable (/root/reference/scripts/full_train.py:241-264).
+//
+// Inputs are the K chunk hierarchies concatenated row-wise (sizes[k] node
+// counts; node child/parent indices chunk-local) plus each chunk's XY
+// box. Output capacity must be sum(sizes) + 1 rows; returns the actual
+// node count (pruned total + global root), or a negative error code.
+int64_t h3dgs_merge_hierarchies(
+    int64_t k, const int64_t* sizes, const float* xyz, const float* shs,
+    const float* alpha, const float* scaling, const float* rotation,
+    const int32_t* nodes, const float* boxes, const uint8_t* anchor,
+    const float* box_min, const float* box_max, float* o_xyz, float* o_shs,
+    float* o_alpha, float* o_scaling, float* o_rotation, int32_t* o_nodes,
+    float* o_boxes, uint8_t* o_anchor) {
+  if (k <= 0) return -1;
+  Outputs o{o_xyz, o_shs, o_alpha, o_scaling, o_rotation, o_boxes, o_nodes,
+            o_anchor};
+
+  // --- per-chunk prune to its own XY box (merge.py prune_to_box) ---
+  // kept[c] lists surviving chunk-local ids in order; new_id maps local
+  // id -> per-chunk compact id.
+  std::vector<std::vector<int64_t>> kept(k);
+  std::vector<std::vector<int64_t>> new_id(k);
+  std::vector<int64_t> base(k, 0);
+  {
+    int64_t off = 0;
+    for (int64_t c = 0; c < k; c++) {
+      base[c] = off;
+      off += sizes[c];
+    }
+  }
+  for (int64_t c = 0; c < k; c++) {
+    const int64_t m = sizes[c];
+    const int32_t* nd = nodes + 4 * base[c];
+    const float* px = xyz + 3 * base[c];
+    std::vector<uint8_t> keep(m, 0);
+    for (int64_t i = 0; i < m; i++) {
+      bool leaf = nd[4 * i + N_CHILDREN] == 0;
+      bool owned = px[3 * i + 0] >= box_min[3 * c + 0] &&
+                   px[3 * i + 0] <= box_max[3 * c + 0] &&
+                   px[3 * i + 1] >= box_min[3 * c + 1] &&
+                   px[3 * i + 1] <= box_max[3 * c + 1];
+      keep[i] = leaf && owned;
+    }
+    // Bottom-up by depth (stable sort, like the numpy version).
+    std::vector<int64_t> order(m);
+    for (int64_t i = 0; i < m; i++) order[i] = i;
+    std::stable_sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+      return nd[4 * a + DEPTH] < nd[4 * b + DEPTH];
+    });
+    for (int64_t oi = m - 1; oi >= 0; oi--) {
+      int64_t i = order[oi];
+      int32_t nc = nd[4 * i + N_CHILDREN];
+      if (nc <= 0) continue;
+      int64_t fc = nd[4 * i + FIRST_CHILD];
+      bool any = keep[fc] || (nc > 1 && keep[std::min(fc + 1, m - 1)]);
+      keep[i] = keep[i] || any;
+    }
+    auto& kc = kept[c];
+    auto& nid = new_id[c];
+    nid.assign(m, -1);
+    for (int64_t i = 0; i < m; i++)
+      if (keep[i]) {
+        nid[i] = (int64_t)kc.size();
+        kc.push_back(i);
+      }
+    if (kc.empty()) return -2;  // chunk box owns no leaves
+  }
+
+  // --- global layout: [root, chunk roots..., remaining nodes] ---
+  std::vector<int64_t> psize(k, 0), pbase(k, 0);
+  int64_t total = 1;  // global root
+  for (int64_t c = 0; c < k; c++) psize[c] = (int64_t)kept[c].size();
+  // chunk-local root = the kept node with parent < 0 (creator layout: 0).
+  std::vector<int64_t> root_local(k, 0);
+  for (int64_t c = 0; c < k; c++) {
+    const int32_t* nd = nodes + 4 * base[c];
+    for (size_t j = 0; j < kept[c].size(); j++)
+      if (nd[4 * kept[c][j] + PARENT] < 0) {
+        root_local[c] = (int64_t)j;
+        break;
+      }
+  }
+  {
+    int64_t off = 0;
+    for (int64_t c = 0; c < k; c++) {
+      pbase[c] = off;
+      off += psize[c];
+      total += psize[c];
+    }
+  }
+  // pos: pruned-concat index -> output index.
+  std::vector<int64_t> pos(total - 1, -1);
+  {
+    std::vector<uint8_t> is_root(total - 1, 0);
+    for (int64_t c = 0; c < k; c++) {
+      is_root[pbase[c] + root_local[c]] = 1;
+      pos[pbase[c] + root_local[c]] = 1 + c;
+    }
+    int64_t nxt = 1 + k;
+    for (int64_t i = 0; i < total - 1; i++)
+      if (!is_root[i]) pos[i] = nxt++;
+  }
+
+  // --- copy rows + remap pointers ---
+  for (int64_t c = 0; c < k; c++) {
+    const int32_t* nd = nodes + 4 * base[c];
+    for (size_t j = 0; j < kept[c].size(); j++) {
+      int64_t src = base[c] + kept[c][j];
+      int64_t dst = pos[pbase[c] + (int64_t)j];
+      std::memcpy(o.xyz + 3 * dst, xyz + 3 * src, 3 * sizeof(float));
+      std::memcpy(o.shs + SH * dst, shs + SH * src, SH * sizeof(float));
+      o.alpha[dst] = alpha[src];
+      std::memcpy(o.scaling + 3 * dst, scaling + 3 * src, 3 * sizeof(float));
+      std::memcpy(o.rotation + 4 * dst, rotation + 4 * src,
+                  4 * sizeof(float));
+      std::memcpy(o.boxes + 6 * dst, boxes + 6 * src, 6 * sizeof(float));
+      o.anchor[dst] = anchor ? anchor[src] : 0;
+
+      int64_t li = kept[c][j];
+      int32_t* od = o.nodes + 4 * dst;
+      int64_t m = sizes[c];
+      int32_t nc_old = nd[4 * li + N_CHILDREN];
+      // Re-derive kept children exactly as the numpy version does.
+      int32_t n_kept = 0;
+      int64_t first_kept = -1;
+      if (nc_old > 0) {
+        int64_t fc = std::max<int64_t>(nd[4 * li + FIRST_CHILD], 0);
+        int64_t second = std::min(fc + 1, m - 1);
+        bool k1 = new_id[c][fc] >= 0;
+        bool k2 = (nc_old > 1) && new_id[c][second] >= 0;
+        n_kept = (int32_t)k1 + (int32_t)k2;
+        first_kept = k1 ? fc : second;
+      }
+      od[N_CHILDREN] = (nc_old > 0) ? n_kept : 0;
+      od[FIRST_CHILD] =
+          (nc_old > 0 && n_kept > 0)
+              ? (int32_t)pos[pbase[c] + new_id[c][first_kept]]
+              : -1;
+      int32_t par = nd[4 * li + PARENT];
+      od[PARENT] = par >= 0 ? (int32_t)pos[pbase[c] + new_id[c][par]]
+                            : 0 /* chunk root -> global root */;
+      od[DEPTH] = nd[4 * li + DEPTH] + 1;
+    }
+  }
+
+  // --- global root: pairwise fold of the chunk roots (merge.py
+  // _fold_merge: rounds of (0,1),(2,3),... with an odd tail carried) ---
+  {
+    // Working set A of n_cur candidate rows, seeded with the chunk roots
+    // (output rows 1..k).
+    std::vector<float> ax(3 * k), ash(SH * k), aa(k), asc(3 * k), ar(4 * k),
+        ab(6 * k);
+    for (int64_t c = 0; c < k; c++) {
+      int64_t src = 1 + c;
+      std::memcpy(ax.data() + 3 * c, o.xyz + 3 * src, 3 * sizeof(float));
+      std::memcpy(ash.data() + SH * c, o.shs + SH * src,
+                  SH * sizeof(float));
+      aa[c] = o.alpha[src];
+      std::memcpy(asc.data() + 3 * c, o.scaling + 3 * src,
+                  3 * sizeof(float));
+      std::memcpy(ar.data() + 4 * c, o.rotation + 4 * src,
+                  4 * sizeof(float));
+      std::memcpy(ab.data() + 6 * c, o.boxes + 6 * src, 6 * sizeof(float));
+    }
+    int64_t n_cur = k;
+    std::vector<float> bx(3 * k), bsh(SH * k), ba(k), bsc(3 * k), br(4 * k),
+        bb(6 * k);
+    while (n_cur > 1) {
+      int64_t pairs = n_cur / 2;  // matches arange(0, k-1, 2)
+      int64_t n_next = pairs + (n_cur % 2);
+      // Stage reads in A..., write pairs into B via a combined buffer that
+      // holds [A | one merge slot]; merge_pair needs one Outputs struct, so
+      // build it over A with one extra row appended.
+      std::vector<float> wx(3 * (n_cur + 1)), wsh(SH * (n_cur + 1)),
+          wa(n_cur + 1), wsc(3 * (n_cur + 1)), wr(4 * (n_cur + 1)),
+          wb(6 * (n_cur + 1));
+      std::vector<int32_t> wn(4 * (n_cur + 1), 0);
+      std::vector<uint8_t> wan(n_cur + 1, 0);
+      std::memcpy(wx.data(), ax.data(), sizeof(float) * 3 * n_cur);
+      std::memcpy(wsh.data(), ash.data(), sizeof(float) * SH * n_cur);
+      std::memcpy(wa.data(), aa.data(), sizeof(float) * n_cur);
+      std::memcpy(wsc.data(), asc.data(), sizeof(float) * 3 * n_cur);
+      std::memcpy(wr.data(), ar.data(), sizeof(float) * 4 * n_cur);
+      std::memcpy(wb.data(), ab.data(), sizeof(float) * 6 * n_cur);
+      Outputs w{wx.data(), wsh.data(), wa.data(), wsc.data(),
+                wr.data(), wb.data(), wn.data(), wan.data()};
+      for (int64_t i = 0; i < pairs; i++) {
+        merge_pair(w, 2 * i, 2 * i + 1, n_cur);  // scratch row
+        std::memcpy(bx.data() + 3 * i, wx.data() + 3 * n_cur,
+                    sizeof(float) * 3);
+        std::memcpy(bsh.data() + SH * i, wsh.data() + SH * n_cur,
+                    sizeof(float) * SH);
+        ba[i] = wa[n_cur];
+        std::memcpy(bsc.data() + 3 * i, wsc.data() + 3 * n_cur,
+                    sizeof(float) * 3);
+        std::memcpy(br.data() + 4 * i, wr.data() + 4 * n_cur,
+                    sizeof(float) * 4);
+        std::memcpy(bb.data() + 6 * i, wb.data() + 6 * n_cur,
+                    sizeof(float) * 6);
+      }
+      if (n_cur % 2) {  // odd tail appended after merged pairs
+        int64_t t = n_cur - 1;
+        std::memcpy(bx.data() + 3 * pairs, ax.data() + 3 * t,
+                    sizeof(float) * 3);
+        std::memcpy(bsh.data() + SH * pairs, ash.data() + SH * t,
+                    sizeof(float) * SH);
+        ba[pairs] = aa[t];
+        std::memcpy(bsc.data() + 3 * pairs, asc.data() + 3 * t,
+                    sizeof(float) * 3);
+        std::memcpy(br.data() + 4 * pairs, ar.data() + 4 * t,
+                    sizeof(float) * 4);
+        std::memcpy(bb.data() + 6 * pairs, ab.data() + 6 * t,
+                    sizeof(float) * 6);
+      }
+      std::swap(ax, bx);
+      std::swap(ash, bsh);
+      std::swap(aa, ba);
+      std::swap(asc, bsc);
+      std::swap(ar, br);
+      std::swap(ab, bb);
+      n_cur = n_next;
+    }
+    std::memcpy(o.xyz, ax.data(), sizeof(float) * 3);
+    std::memcpy(o.shs, ash.data(), sizeof(float) * SH);
+    o.alpha[0] = aa[0];
+    std::memcpy(o.scaling, asc.data(), sizeof(float) * 3);
+    std::memcpy(o.rotation, ar.data(), sizeof(float) * 4);
+  }
+  o.nodes[4 * 0 + PARENT] = -1;
+  o.nodes[4 * 0 + FIRST_CHILD] = 1;
+  o.nodes[4 * 0 + N_CHILDREN] = (int32_t)k;
+  o.nodes[4 * 0 + DEPTH] = 0;
+  o.anchor[0] = 0;
+  // Root box: envelope of every pruned node's box (merge.py:186-187).
+  for (int a = 0; a < 3; a++) {
+    float lo = o.boxes[6 * 1 + a], hi = o.boxes[6 * 1 + 3 + a];
+    for (int64_t i = 2; i < total; i++) {
+      lo = std::min(lo, o.boxes[6 * i + a]);
+      hi = std::max(hi, o.boxes[6 * i + 3 + a]);
+    }
+    o.boxes[a] = lo;
+    o.boxes[3 + a] = hi;
+  }
+  return total;
+}
+
 }  // extern "C"

@@ -1,0 +1,87 @@
+"""Hierarchy-cut render FPS at 1080p on the current backend.
+
+The BASELINE.md "hierarchy-cut rendering at interactive rates" metric:
+builds a synthetic hierarchy over N leaves, then times
+cut-select -> interpolate -> splat for a moving camera at several taus.
+Axon-safe timing (camera perturbed per frame, one sync at the end).
+
+Run: /opt/venv/bin/python scripts/bench_render.py
+"""
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from h3dgs_tpu.hierarchy import cut as cut_lib
+    from h3dgs_tpu.hierarchy.tree import build_hierarchy
+    from h3dgs_tpu.model.state import from_arrays
+    from h3dgs_tpu.ops.rasterize import RasterizeConfig
+    from h3dgs_tpu.scene.camera import look_at_camera
+    from h3dgs_tpu.train.post_step import render_cut
+    from h3dgs_tpu.utils.sh import rgb_to_sh
+
+    rng = np.random.default_rng(0)
+    n = 200_000
+    xyz = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+    shs = np.zeros((n, 16, 3), np.float32)
+    shs[:, 0] = rgb_to_sh(rng.uniform(0.1, 0.9, (n, 3)))
+    alpha = rng.uniform(0.3, 0.95, n).astype(np.float32)
+    scaling = rng.uniform(np.log(0.01), np.log(0.04), (n, 3)).astype(
+        np.float32)
+    rotation = rng.normal(size=(n, 4)).astype(np.float32)
+    rotation /= np.linalg.norm(rotation, axis=1, keepdims=True)
+
+    t0 = time.perf_counter()
+    h = build_hierarchy(xyz, shs, alpha, scaling, rotation)
+    print(f"hierarchy build ({n} leaves -> {h.n_nodes} nodes): "
+          f"{time.perf_counter() - t0:.1f} s")
+
+    state = from_arrays(
+        xyz=h.xyz, features_dc=h.shs[:, :1], features_rest=h.shs[:, 1:],
+        opacity=h.alpha[:, None], scaling=h.scaling, rotation=h.rotation,
+        capacity=h.n_nodes, max_sh_degree=3, n_skybox=0, skybox_last=True)
+    nodes = jnp.asarray(h.nodes)
+    boxes = jnp.asarray(h.boxes)
+
+    w, hh = 1920, 1080
+    cfg = RasterizeConfig(max_entries=5 << 19, max_per_tile=4096)
+    max_cut = 1 << int(np.ceil(np.log2(h.n_leaves * 1.25)))
+    max_cut = min(max_cut, h.n_nodes)
+    bg = jnp.zeros(3, jnp.float32)
+
+    cams = [look_at_camera(eye=(6 * np.sin(a), -1.0, -6 * np.cos(a)),
+                           target=(0, 0, 0), fovx=1.2, width=w, height=hh)
+            for a in np.linspace(0, 2 * np.pi, 16, endpoint=False)]
+    cam_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
+
+    @jax.jit
+    def frame(cam_leaves, i, limit):
+        cam = jax.tree.map(lambda x: x[i], cam_leaves)
+        out = render_cut(state, nodes, boxes, cam, limit, 3, bg, cfg,
+                         max_cut=max_cut)
+        return out["render"], out["cut"].count
+
+    for tau in (0.0, 3.0, 6.0, 15.0):
+        limit = cut_lib.pixel_limit(tau, float(cams[0].tanfovx), w)
+        img, count = frame(cam_stack, 0, jnp.float32(limit))
+        float(jnp.sum(img))
+        t0 = time.perf_counter()
+        acc = []
+        iters = 16
+        for i in range(iters):
+            img, count = frame(cam_stack, i % 16, jnp.float32(limit))
+            acc.append(img)
+        float(sum(jnp.sum(a) for a in acc))
+        dt = (time.perf_counter() - t0) / iters
+        print(f"tau={tau:5.1f}: cut={int(count):7d}  {dt * 1e3:7.2f} ms "
+              f"({1.0 / dt:5.2f} fps at 1080p)")
+
+
+if __name__ == "__main__":
+    main()
