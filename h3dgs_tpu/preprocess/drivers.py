@@ -276,6 +276,12 @@ def main(argv=None):
     d = sub.add_parser("depth")
     d.add_argument("--project_dir", required=True)
     d.add_argument("--depth_tool_cmd", default="")
+    # Single-chunk worker (what scripts/prepare_chunk.slurm dispatches).
+    pc = sub.add_parser("prepare_chunk")
+    pc.add_argument("--raw_chunk", required=True)
+    pc.add_argument("--out_chunk", required=True)
+    pc.add_argument("--images_dir", required=True)
+    pc.add_argument("--colmap_exe", default="colmap")
     a = p.parse_args(argv)
     if a.cmd == "colmap":
         generate_colmap(a.project_dir, a.images_dir, a.masks_dir)
@@ -283,6 +289,8 @@ def main(argv=None):
         generate_chunks(a.project_dir, a.images_dir, a.chunk_size, a.n_jobs,
                         a.min_n_cams, a.max_n_cams, a.lapla_thresh,
                         a.skip_bundle_adjustment)
+    elif a.cmd == "prepare_chunk":
+        prepare_chunk(a.raw_chunk, a.out_chunk, a.images_dir, a.colmap_exe)
     else:
         generate_depth(a.project_dir, a.depth_tool_cmd)
 
