@@ -28,13 +28,19 @@ def main():
 
     rng = np.random.default_rng(0)
     n = 200_000
-    # Fine leaves (sub-pixel at the bench camera) so tau actually moves
-    # the cut up the tree — the LOD regime the hierarchy exists for.
-    xyz = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+    # Points on a dense wavy surface (like reconstructed geometry): leaf
+    # spacing ~0.013 world units, so interior nodes merge neighboring
+    # splats and tau actually moves the cut up the tree — the LOD regime
+    # the hierarchy exists for. Uniform-volume points would give parents
+    # that double in size immediately (no usable LOD).
+    uv = rng.uniform(-3, 3, (n, 2)).astype(np.float32)
+    zs = (0.4 * np.sin(uv[:, 0] * 2.1) * np.cos(uv[:, 1] * 1.7)
+          + 0.02 * rng.normal(size=n)).astype(np.float32)
+    xyz = np.stack([uv[:, 0], zs, uv[:, 1]], axis=1)
     shs = np.zeros((n, 16, 3), np.float32)
     shs[:, 0] = rgb_to_sh(rng.uniform(0.1, 0.9, (n, 3)))
     alpha = rng.uniform(0.3, 0.95, n).astype(np.float32)
-    scaling = rng.uniform(np.log(0.002), np.log(0.006), (n, 3)).astype(
+    scaling = rng.uniform(np.log(0.008), np.log(0.02), (n, 3)).astype(
         np.float32)
     rotation = rng.normal(size=(n, 4)).astype(np.float32)
     rotation /= np.linalg.norm(rotation, axis=1, keepdims=True)
