@@ -122,6 +122,9 @@ class Scene:
         ply = os.path.join(pc_dir, "point_cloud.ply")
         if os.path.exists(ply):
             g = read_gaussian_ply(ply, self.cfg.sh_degree)
+        elif os.path.exists(os.path.join(pc_dir, "done_xyz.pt")):
+            from ..io import pt as pt_io
+            g = pt_io.load_pt(pc_dir)
         else:
             g = dict(np.load(os.path.join(pc_dir, "point_cloud.npz")))
         capacity = self.runtime.capacity or None
@@ -174,7 +177,10 @@ class Scene:
         arrs = {k: v[keep] for k, v in arrs.items()}
         n = arrs["xyz"].shape[0]
         if n > 8_000_000:
-            np.savez(os.path.join(pc_dir, "point_cloud.npz"), **arrs)
+            # Reference's raw-tensor format for huge scenes (done_*.pt +
+            # packed point_cloud.bin, scene/__init__.py:103).
+            from ..io import pt as pt_io
+            pt_io.save_pt(pc_dir, **arrs)
         else:
             write_gaussian_ply(os.path.join(pc_dir, "point_cloud.ply"),
                                **arrs)

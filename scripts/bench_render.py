@@ -40,7 +40,7 @@ def main():
     shs = np.zeros((n, 16, 3), np.float32)
     shs[:, 0] = rgb_to_sh(rng.uniform(0.1, 0.9, (n, 3)))
     alpha = rng.uniform(0.3, 0.95, n).astype(np.float32)
-    scaling = rng.uniform(np.log(0.008), np.log(0.02), (n, 3)).astype(
+    scaling = rng.uniform(np.log(0.004), np.log(0.009), (n, 3)).astype(
         np.float32)
     rotation = rng.normal(size=(n, 4)).astype(np.float32)
     rotation /= np.linalg.norm(rotation, axis=1, keepdims=True)

@@ -119,3 +119,34 @@ def test_shrink_big_gaussians():
     s_new = np.asarray(new.get_scaling())
     assert np.allclose(s_new[0], 5.0 * 0.8, rtol=1e-5)
     assert np.allclose(s_new[1], np.exp(-3.0), rtol=1e-5)
+
+
+def test_pt_format_roundtrip(tmp_path):
+    """done_*.pt + point_cloud.bin (the reference's >8M-point format)."""
+    import struct
+
+    from h3dgs_tpu.io import pt as pt_io
+
+    rng = np.random.default_rng(0)
+    n = 37
+    arrs = dict(
+        xyz=rng.normal(size=(n, 3)).astype(np.float32),
+        features_dc=rng.normal(size=(n, 1, 3)).astype(np.float32),
+        features_rest=rng.normal(size=(n, 15, 3)).astype(np.float32),
+        opacity=rng.normal(size=(n, 1)).astype(np.float32),
+        scaling=rng.normal(size=(n, 3)).astype(np.float32),
+        rotation=rng.normal(size=(n, 4)).astype(np.float32))
+    pt_io.save_pt(str(tmp_path), **arrs)
+    back = pt_io.load_pt(str(tmp_path))
+    for k, v in arrs.items():
+        np.testing.assert_array_equal(back[k], v)
+
+    with open(tmp_path / "point_cloud.bin", "rb") as f:
+        cnt = struct.unpack("i", f.read(4))[0]
+        assert cnt == n
+        xyz = np.frombuffer(f.read(n * 12), np.float32).reshape(n, 3)
+        np.testing.assert_array_equal(xyz, arrs["xyz"])
+        feats = np.frombuffer(f.read(n * 16 * 3 * 4),
+                              np.float32).reshape(n, 16, 3)
+        np.testing.assert_array_equal(feats[:, :1], arrs["features_dc"])
+        np.testing.assert_array_equal(feats[:, 1:], arrs["features_rest"])
