@@ -54,12 +54,13 @@ def main():
 
     cam = look_at_camera(eye=(0.0, -1.0, -6.0), target=(0, 0, 0), fovx=1.2,
                          width=WIDTH, height=HEIGHT)
-    # Budget sized to the aligned-stream need for this scene at
-    # chunk_e=256 (~2.20M slots; x1.2 headroom bucket -> 2.62M), matching
-    # what the adaptive trainer converges to. An undersized budget would
-    # silently drop tail tiles (see binning.AlignedBins.aligned_entries).
-    cfg = RasterizeConfig(max_entries=5 << 19, max_per_tile=4096,
-                          chunk_e=256)
+    # Budget sized to the aligned-stream need for this scene at the
+    # 128-entry quantum (~1.69M slots; x1.2 headroom bucket -> 2^21),
+    # matching what the adaptive trainer converges to. An undersized
+    # budget would silently drop tail tiles (see
+    # binning.AlignedBins.aligned_entries).
+    cfg = RasterizeConfig(max_entries=1 << 21, max_per_tile=4096,
+                          chunk_e=256, quantum=128)
     bg = jnp.zeros(3, jnp.float32)
     params = (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
               jnp.asarray(opac), jnp.asarray(shs))

@@ -6,13 +6,20 @@ hierarchy-rasterizer's per-tile blend loops (interface contract at
 the TPU pipeline model:
 
   * Entries are pre-gathered into one packed ``[16, D]`` f32 stream,
-    segment-aligned per tile (ops/binning.align_segments). The kernel grid
-    walks chunks of E entries with *static* block index maps (the key to
-    full DMA double-buffering): each grid step reads one entry chunk and
-    writes that chunk's **incremental** per-tile contribution to a
-    per-chunk output slot; a cheap XLA segment-sum then combines chunks
-    into tiles. A scalar-prefetched ``owner`` array drives only in-kernel
-    control (accumulator resets), never the DMA schedule.
+    aligned per tile to Q-entry *quanta* (ops/binning). The kernel grid
+    walks chunks of E = S*Q entries with *static* block index maps (the
+    key to full DMA double-buffering): each grid step reads one entry
+    chunk and writes **incremental** per-quantum contributions to S
+    output slots; a cheap XLA segment-sum then combines quanta into
+    tiles. A scalar-prefetched per-quantum ``owner`` array drives only
+    in-kernel control, never the DMA schedule.
+  * A chunk may span several tiles (its S quanta can have different
+    owners). Equal-owner quanta are stream-consecutive, so lanes split
+    into owner groups; the prefix matmul's mask (triangular AND
+    same-group, _segments) stops transmittance accumulation at group
+    boundaries, and the carried VMEM state only feeds group 0. This
+    decouples the grid-step width (256 = the v5e sweet spot) from the
+    alignment padding quantum (128 halves the aligned stream's padding).
   * Sequential state (transmittance, termination, gradient prefix) lives
     in VMEM scratch that persists across grid steps (the TPU grid is
     sequential) and resets when the owner changes.
@@ -20,9 +27,9 @@ the TPU pipeline model:
     scalars broadcast along sublanes, per-pixel coordinates along lanes —
     VPU elementwise math, with color accumulation as an MXU ``[4,E]x[E,P]``
     contraction. The transmittance recurrence runs as a log-space prefix
-    sum computed on the MXU (one [P,E]x[E,E] triangular matmul,
-    _prefix_lanes) — the MXU is near-idle here while the VPU is the
-    bottleneck, and Mosaic has no native cumsum/cumprod lowering.
+    sum computed on the MXU (one [P,E]x[E,E] masked-triangular matmul) —
+    the MXU is near-idle here while the VPU is the bottleneck, and Mosaic
+    has no native cumsum/cumprod lowering.
   * The backward kernel re-walks the same stream (no [T,K,P] intermediates
     saved — the CUDA kernel's re-traversal strategy). All color/depth
     channels collapse into ONE gradient prefix channel via
@@ -65,7 +72,17 @@ N_OUT = 8
 
 
 class PallasBlendConfig(NamedTuple):
-    chunk_e: int = 128     # entries per grid step (lane dim)
+    """Grid-step width vs alignment quantum.
+
+    ``chunk_e`` (E) is the lane width of one grid step — 256 is the v5e
+    sweet spot (per-step overhead dominates below, prefix-matmul FLOPs
+    above). ``quantum`` (Q <= E, E % Q == 0) is the per-tile alignment
+    unit of the entry stream: each grid step covers S = E/Q quanta whose
+    tiles may differ, handled by segmented (owner-masked) prefix scans.
+    Q < E cuts the aligned stream's padding (mean per-tile counts are a
+    few hundred) without giving up the wide grid step."""
+    chunk_e: int = 256     # entries per grid step (lane dim)
+    quantum: int = 128     # per-tile alignment unit
     interpret: bool = False
 
 
@@ -96,99 +113,172 @@ def _alpha_terms(e, px, py):
     return alpha, ok, om, dx, dy, alpha_raw
 
 
-def _prefix_lanes(x):
-    """Inclusive prefix sum along lanes as an MXU contraction with a
-    triangular ones matrix. The MXU is otherwise idle during the
-    recurrence, and one [P,E]x[E,E] HIGHEST-precision matmul replaces
-    ~30 masked-roll VPU ops per element (Mosaic has no cumsum lowering;
-    Hillis-Steele on the VPU was the kernel's single largest cost)."""
-    e = x.shape[1]
-    row = jax.lax.broadcasted_iota(jnp.int32, (e, e), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (e, e), 1)
-    u = (row <= col).astype(x.dtype)
-    return jax.lax.dot_general(x, u, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)
-
-
-def _recurrence(e, trans, term, px, py):
-    """Transmittance recurrence for one chunk; returns blend terms."""
-    alpha, ok, om, dx, dy, alpha_raw = _alpha_terms(e, px, py)
-    t_carry = trans[:, 0:1]                              # [P,1]
-    cum = _prefix_lanes(jnp.log(om))                     # sum_{j<=i} log om_j
-    t_incl = t_carry * jnp.exp(cum)
-    t_excl = t_incl / om                                 # om >= 0.01
-    live = (term[:, 0:1] == 0.0) & (t_incl >= TRANSMITTANCE_EPS)
-    contrib = jnp.where(live, alpha * t_excl, 0.0)       # [P,E]
-    # live lanes are a prefix (t_incl is non-increasing along lanes), so
-    # the post-chunk transmittance is t_incl at the last live lane ==
-    # masked min (t_carry when nothing is live).
-    new_trans = jnp.min(jnp.where(live, t_incl, t_carry), axis=1,
-                        keepdims=True)
-    new_term = jnp.maximum(
-        term[:, 0:1],
-        (t_incl[:, -1:] < TRANSMITTANCE_EPS).astype(jnp.float32))
-    return (alpha, ok, dx, dy, alpha_raw, t_excl, live, contrib,
-            new_trans, new_term)
-
-
 def _attr4(e):
     """rgb + invdepth rows: [4, E]."""
     return jnp.concatenate([e[R_R:R_B + 1, :], e[R_ID:R_ID + 1, :]], axis=0)
 
 
-def _first_of_tile(owner_ref, c):
-    owner = owner_ref[c]
-    prev = owner_ref[jnp.maximum(c - 1, 0)]
-    return owner, jnp.logical_or(c == 0, owner != prev)
+class _Segments(NamedTuple):
+    """Per-chunk segment geometry (S = E/Q quanta, possibly != tiles)."""
+    owners: list          # S scalars: tile of each quantum (-1 unused)
+    bids: list            # S scalars: owner-group id (0 = carried group)
+    masks: list           # S [1,E] bool lane masks
+    bid_lane: jax.Array   # [1,E] i32 group id per lane
+    in_carry: jax.Array   # [1,E] bool (group 0 lanes)
+    u: jax.Array          # [E,E] triangular same-group prefix matrix
+    all_same: jax.Array   # scalar bool: one tile spans the chunk
+
+
+def _segments(owners, e_width: int, q: int, dtype):
+    s = e_width // q
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, e_width), 1)
+    seg = lane // q
+    # Group id: number of owner changes before each segment. Equal owners
+    # are stream-consecutive, so equality of group id == equality of owner.
+    bids = [jnp.int32(0)]
+    for i in range(1, s):
+        bids.append(bids[i - 1]
+                    + (owners[i] != owners[i - 1]).astype(jnp.int32))
+    bid_lane = jnp.zeros((1, e_width), jnp.int32)
+    masks = []
+    for i in range(s):
+        m = seg == i
+        masks.append(m)
+        bid_lane = jnp.where(m, bids[i], bid_lane)
+    row = jax.lax.broadcasted_iota(jnp.int32, (e_width, e_width), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (e_width, e_width), 1)
+    seg_r = row // q
+    seg_c = col // q
+    bid_r = jnp.zeros((e_width, e_width), jnp.int32)
+    bid_c = jnp.zeros((e_width, e_width), jnp.int32)
+    for i in range(s):
+        bid_r = jnp.where(seg_r == i, bids[i], bid_r)
+        bid_c = jnp.where(seg_c == i, bids[i], bid_c)
+    u = ((row <= col) & (bid_r == bid_c)).astype(dtype)
+    all_same = bids[-1] == 0
+    return _Segments(owners=owners, bids=bids, masks=masks,
+                     bid_lane=bid_lane, in_carry=bid_lane == 0, u=u,
+                     all_same=all_same)
+
+
+def _seg_recurrence(e, seg: _Segments, trans, term, tiles_x: int,
+                    tile: int, p: int):
+    """Segmented transmittance recurrence for one chunk.
+
+    Groups of equal-owner quanta share one running transmittance; the
+    prefix matmul's mask (seg.u) stops log-accumulation at group
+    boundaries, and the carried state only feeds group 0."""
+    px = jnp.zeros((p, e.shape[1]), e.dtype)
+    py = jnp.zeros((p, e.shape[1]), e.dtype)
+    for i, m in enumerate(seg.masks):
+        pxi, pyi = _pixel_coords(seg.owners[i], tiles_x, tile, p, e.dtype)
+        px = jnp.where(m, pxi, px)
+        py = jnp.where(m, pyi, py)
+    alpha, ok, om, dx, dy, alpha_raw = _alpha_terms(e, px, py)
+    t_carry = trans[:, 0:1]                              # [P,1]
+    term_carry = term[:, 0:1]
+    cum = jax.lax.dot_general(jnp.log(om), seg.u, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
+    t_base = jnp.where(seg.in_carry, t_carry, 1.0)       # [P,E]
+    term_base = jnp.where(seg.in_carry, term_carry, 0.0)
+    t_incl = t_base * jnp.exp(cum)
+    t_excl = t_incl / om                                 # om >= 0.01
+    live = (term_base == 0.0) & (t_incl >= TRANSMITTANCE_EPS)
+    contrib = jnp.where(live, alpha * t_excl, 0.0)       # [P,E]
+    return (alpha, ok, dx, dy, alpha_raw, t_excl, live, contrib,
+            t_incl, t_carry, term_carry)
+
+
+def _seg_trans_after(seg: _Segments, i: int, q: int, live, t_incl,
+                     t_carry):
+    """Transmittance after quantum i for its tile: masked min of the
+    non-increasing t_incl over that group's lanes up to the quantum end."""
+    e_width = t_incl.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, e_width), 1)
+    sel = live & (lane < (i + 1) * q) & (seg.bid_lane == seg.bids[i])
+    default = jnp.where(seg.bids[i] == 0, t_carry,
+                        jnp.ones_like(t_carry))
+    return jnp.min(jnp.where(sel, t_incl, default), axis=1, keepdims=True)
+
+
+def _seg_new_term(seg: _Segments, term_carry, t_incl):
+    """Termination carry for the final quantum's tile."""
+    last_base = jnp.where(seg.bids[-1] == 0, term_carry,
+                          jnp.zeros_like(term_carry))
+    return jnp.maximum(
+        last_base,
+        (t_incl[:, -1:] < TRANSMITTANCE_EPS).astype(jnp.float32))
+
+
+def _chunk_owners(owner_ref, c, s: int):
+    owners = [owner_ref[s * c + i] for i in range(s)]
+    prev = owner_ref[jnp.maximum(s * c - 1, 0)]
+    first = jnp.logical_or(c == 0, owners[0] != prev)
+    return owners, first
 
 
 def _fwd_kernel(owner_ref, entries_ref, out_ref, trans, term,
-                *, tiles_x: int, tile: int, p: int):
+                *, tiles_x: int, tile: int, p: int, q: int, s: int):
     c = pl.program_id(0)
-    owner, first = _first_of_tile(owner_ref, c)
+    owners, first = _chunk_owners(owner_ref, c, s)
 
     @pl.when(first)
     def _():
         trans[:] = jnp.ones_like(trans)
         term[:] = jnp.zeros_like(term)
 
-    out_ref[0, O_R:O_D + 1, :] = jnp.zeros((4, p), jnp.float32)
+    for i in range(s):
+        out_ref[i, O_R:O_D + 1, :] = jnp.zeros((4, p), jnp.float32)
+        out_ref[i, O_T + 1:, :] = jnp.zeros((N_OUT - O_T - 1, p),
+                                            jnp.float32)
 
-    # Skip compute for unused chunks and for tiles whose every pixel
-    # already terminated (the CUDA early-out).
-    saturated = jnp.logical_and(jnp.logical_not(first),
-                                jnp.min(term[:, 0:1]) > 0.0)
+    e = entries_ref[:]                                       # [16,E]
+    seg = _segments(owners, e.shape[1], q, e.dtype)
 
-    @pl.when(jnp.logical_and(owner >= 0, jnp.logical_not(saturated)))
+    # Skip compute for unused chunks and for single-tile chunks whose
+    # every pixel already terminated (the CUDA early-out). A chunk that
+    # starts a new tile mid-stream must still run.
+    saturated = (jnp.logical_not(first) & seg.all_same
+                 & (jnp.min(term[:, 0:1]) > 0.0))
+    compute = jnp.logical_and(owners[0] >= 0, jnp.logical_not(saturated))
+
+    @pl.when(compute)
     def _():
-        e = entries_ref[:]                                   # [16,E]
-        px, py = _pixel_coords(owner, tiles_x, tile, p, e.dtype)
-        (_alpha, _ok, _dx, _dy, _raw, _t_excl, _live, contrib,
-         new_trans, new_term) = _recurrence(e, trans, term, px, py)
-        out_ref[0, O_R:O_D + 1, :] = jax.lax.dot_general(
-            _attr4(e), contrib, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-        trans[:, 0:1] = new_trans
-        term[:, 0:1] = new_term
+        (_alpha, _ok, _dx, _dy, _raw, _t_excl, live, contrib,
+         t_incl, t_carry, term_carry) = _seg_recurrence(
+            e, seg, trans, term, tiles_x, tile, p)
+        for i in range(s):
+            out_ref[i, O_R:O_D + 1, :] = jax.lax.dot_general(
+                _attr4(e), jnp.where(seg.masks[i], contrib, 0.0),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            t_after = _seg_trans_after(seg, i, q, live, t_incl, t_carry)
+            out_ref[i, O_T, :] = t_after[:, 0]
+        trans[:, 0:1] = _seg_trans_after(seg, s - 1, q, live, t_incl,
+                                         t_carry)
+        term[:, 0:1] = _seg_new_term(seg, term_carry, t_incl)
 
-    out_ref[0, O_T, :] = trans[:, 0]
-    out_ref[0, O_T + 1:, :] = jnp.zeros((N_OUT - O_T - 1, p), jnp.float32)
+    @pl.when(jnp.logical_not(compute))
+    def _():
+        for i in range(s):
+            out_ref[i, O_T, :] = trans[:, 0]
 
 
 def _bwd_kernel(owner_ref, entries_ref, grads_ref, dentries_ref,
-                trans, term, pre, *, tiles_x: int, tile: int, p: int):
+                trans, term, pre, *, tiles_x: int, tile: int, p: int,
+                q: int, s: int):
     """Per-entry gradients.
 
-    grads_ref: [1, N_OUT, P] per-chunk gathered cotangents — rows 0-3
+    grads_ref: [S, N_OUT, P] per-quantum gathered cotangents — rows 0-3
     color + invdepth, row O_T transmittance, and the two spare rows carry
     the fused suffix constants (row G_TOT = g·total, row G_TFIN = t_fin)
     so one gather feeds the kernel. pre: [8, P] scratch — row 0 carries
-    the fused gradient prefix.
+    the fused gradient prefix of the carried tile.
     """
     c = pl.program_id(0)
-    owner, first = _first_of_tile(owner_ref, c)
+    owners, first = _chunk_owners(owner_ref, c, s)
 
     @pl.when(first)
     def _():
@@ -198,42 +288,65 @@ def _bwd_kernel(owner_ref, entries_ref, grads_ref, dentries_ref,
 
     dentries_ref[:] = jnp.zeros_like(dentries_ref)
 
-    saturated = jnp.logical_and(jnp.logical_not(first),
-                                jnp.min(term[:, 0:1]) > 0.0)
+    e = entries_ref[:]
+    seg = _segments(owners, e.shape[1], q, e.dtype)
+    saturated = (jnp.logical_not(first) & seg.all_same
+                 & (jnp.min(term[:, 0:1]) > 0.0))
+    compute = jnp.logical_and(owners[0] >= 0, jnp.logical_not(saturated))
 
-    @pl.when(jnp.logical_and(owner >= 0, jnp.logical_not(saturated)))
+    @pl.when(compute)
     def _():
-        e = entries_ref[:]
-        px, py = _pixel_coords(owner, tiles_x, tile, p, e.dtype)
         (alpha, ok, dx, dy, alpha_raw, t_excl, live, contrib,
-         new_trans, new_term) = _recurrence(e, trans, term, px, py)
+         t_incl, t_carry, term_carry) = _seg_recurrence(
+            e, seg, trans, term, tiles_x, tile, p)
 
-        g = grads_ref[0]                                     # [N_OUT,P]
         attr = _attr4(e)                                     # [4,E]
+        d_attr = jnp.zeros_like(attr)
+        ga = jnp.zeros_like(contrib)                         # [P,E]
+        g_tot = jnp.zeros_like(contrib)
+        t_fin = jnp.zeros_like(contrib)
+        g_t = jnp.zeros_like(contrib)
+        for i in range(s):
+            gi = grads_ref[i]                                # [N_OUT,P]
+            contrib_i = jnp.where(seg.masks[i], contrib, 0.0)
+            # d rgb / d invd: contraction over pixels on the MXU; the
+            # mask zeroes other quanta's columns, so the sum assembles
+            # the full [4,E].
+            d_attr = d_attr + jax.lax.dot_general(
+                gi[O_R:O_D + 1, :], contrib_i, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            # Fused suffix: ga = sum_ch g_ch * a_ch,i per lane, using the
+            # lane's own tile's cotangents.
+            ga_i = jax.lax.dot_general(
+                gi[O_R:O_D + 1, :], attr, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)         # [P,E]
+            ga = jnp.where(seg.masks[i], ga_i, ga)
+            g_tot = jnp.where(seg.masks[i],
+                              gi[G_TOT:G_TOT + 1, :].T, g_tot)
+            t_fin = jnp.where(seg.masks[i],
+                              gi[G_TFIN:G_TFIN + 1, :].T, t_fin)
+            g_t = jnp.where(seg.masks[i], gi[O_T:O_T + 1, :].T, g_t)
 
-        # d rgb / d invd: contraction over pixels on the MXU.
-        d_attr = jax.lax.dot_general(
-            g[O_R:O_D + 1, :], contrib, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)             # [4,E]
         dentries_ref[R_R:R_B + 1, :] = d_attr[0:3, :]
         dentries_ref[R_ID:R_ID + 1, :] = d_attr[3:4, :]
 
-        # Fused suffix: ga_i = sum_ch g_ch * a_ch,i  ([P,E] via one MXU
-        # contraction g[4,P]^T x attr[4,E]).
-        ga = jax.lax.dot_general(
-            g[O_R:O_D + 1, :], attr, (((0,), (0,)), ((), ())),
+        qv = contrib * ga
+        pre_base = jnp.where(seg.in_carry, pre[0:1, :].T, 0.0)
+        prefix = pre_base + jax.lax.dot_general(
+            qv, seg.u, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)             # [P,E]
-        q = contrib * ga
-        prefix = pre[0:1, :].T + _prefix_lanes(q)            # [P,E]
-        g_tot = g[G_TOT:G_TOT + 1, :].T                      # [P,1]
-        t_fin = g[G_TFIN:G_TFIN + 1, :].T                    # [P,1]
         inv_om = 1.0 / jnp.maximum(1.0 - alpha, 1e-12)
-        g_t = g[O_T:O_T + 1, :].T                            # [P,1]
         d_alpha = (t_excl * ga - (g_tot - prefix) * inv_om
                    + g_t * (-t_fin * inv_om))
-        pre[0:1, :] += jnp.sum(q, axis=1)[None, :]
+        # Carry the gradient prefix of the FINAL quantum's tile.
+        last_sel = seg.bid_lane == seg.bids[-1]
+        tail = jnp.sum(jnp.where(last_sel, qv, 0.0), axis=1)[None, :]
+        keep = jnp.where(seg.bids[-1] == 0, pre[0:1, :],
+                         jnp.zeros_like(pre[0:1, :]))
+        pre[0:1, :] = keep + tail
 
         d_alpha = jnp.where(live & ok, d_alpha, 0.0)
         d_alpha_eff = jnp.where(alpha_raw < ALPHA_MAX, d_alpha, 0.0)
@@ -257,17 +370,26 @@ def _bwd_kernel(owner_ref, entries_ref, grads_ref, dentries_ref,
         dentries_ref[R_MX:R_MX + 1, :] = rowsum(d_power * (ca * dx + cb * dy))
         dentries_ref[R_MY:R_MY + 1, :] = rowsum(d_power * (cc * dy + cb * dx))
 
-        trans[:, 0:1] = new_trans
-        term[:, 0:1] = new_term
+        trans[:, 0:1] = _seg_trans_after(seg, s - 1, q, live, t_incl,
+                                         t_carry)
+        term[:, 0:1] = _seg_new_term(seg, term_carry, t_incl)
 
 
 def pallas_blend_fwd(packed, owner, *, tiles_x: int, tile: int,
                      cfg: PallasBlendConfig):
-    """Per-chunk incremental contributions: [n_chunks, N_OUT, P]."""
+    """Per-quantum incremental contributions: [n_quanta, N_OUT, P].
+
+    ``owner`` is per *quantum* ([D / cfg.quantum]); each grid step covers
+    S = chunk_e/quantum quanta.
+    """
     p = tile * tile
     e = cfg.chunk_e
+    q = cfg.quantum
+    s = e // q
     n_chunks = packed.shape[1] // e
-    kernel = functools.partial(_fwd_kernel, tiles_x=tiles_x, tile=tile, p=p)
+    n_quanta = packed.shape[1] // q
+    kernel = functools.partial(_fwd_kernel, tiles_x=tiles_x, tile=tile,
+                               p=p, q=q, s=s)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -275,27 +397,30 @@ def pallas_blend_fwd(packed, owner, *, tiles_x: int, tile: int,
             grid=(n_chunks,),
             in_specs=[pl.BlockSpec((N_ROWS, e), lambda c, o: (0, c),
                                    memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((1, N_OUT, p), lambda c, o: (c, 0, 0),
+            out_specs=pl.BlockSpec((s, N_OUT, p), lambda c, o: (c, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((p, 8), jnp.float32),     # trans (col 0)
                 pltpu.VMEM((p, 8), jnp.float32),     # term (col 0)
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((n_chunks, N_OUT, p), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_quanta, N_OUT, p), jnp.float32),
         interpret=cfg.interpret,
     )(owner, packed)
 
 
-def pallas_blend_bwd(packed, owner, grads_chunks, *,
+def pallas_blend_bwd(packed, owner, grads_quanta, *,
                      tiles_x: int, tile: int, cfg: PallasBlendConfig):
-    """Per-entry gradient stream [16, D] from per-chunk cotangents."""
+    """Per-entry gradient stream [16, D] from per-quantum cotangents."""
     p = tile * tile
     e = cfg.chunk_e
+    q = cfg.quantum
+    s = e // q
     n_chunks = packed.shape[1] // e
-    kernel = functools.partial(_bwd_kernel, tiles_x=tiles_x, tile=tile, p=p)
-    chunk_spec = pl.BlockSpec((1, N_OUT, p), lambda c, o: (c, 0, 0),
-                              memory_space=pltpu.VMEM)
+    kernel = functools.partial(_bwd_kernel, tiles_x=tiles_x, tile=tile,
+                               p=p, q=q, s=s)
+    quanta_spec = pl.BlockSpec((s, N_OUT, p), lambda c, o: (c, 0, 0),
+                               memory_space=pltpu.VMEM)
     entry_spec = pl.BlockSpec((N_ROWS, e), lambda c, o: (0, c),
                               memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -303,7 +428,7 @@ def pallas_blend_bwd(packed, owner, grads_chunks, *,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_chunks,),
-            in_specs=[entry_spec, chunk_spec],
+            in_specs=[entry_spec, quanta_spec],
             out_specs=entry_spec,
             scratch_shapes=[
                 pltpu.VMEM((p, 8), jnp.float32),
@@ -313,7 +438,7 @@ def pallas_blend_bwd(packed, owner, grads_chunks, *,
         ),
         out_shape=jax.ShapeDtypeStruct(packed.shape, jnp.float32),
         interpret=cfg.interpret,
-    )(owner, packed, grads_chunks)
+    )(owner, packed, grads_quanta)
 
 
 def pack_entries(means2d, conic, rgb, opacity, inv_depth,

@@ -49,6 +49,7 @@ class RasterizeConfig(NamedTuple):
     # ``chunk``/``remat`` and uses chunk_e-entry grid steps.
     backend: str = "auto"
     chunk_e: int = 256              # Pallas entries per grid step
+    quantum: int = 128              # per-tile alignment unit (<= chunk_e)
     # Mesh axis name to shard the per-tile blend over (pixels/tiles are the
     # natural SPMD axis of splatting). Requires an ambient mesh
     # (jax.set_mesh); Gaussian/entry arrays stay replicated and XLA inserts
@@ -217,21 +218,22 @@ def blend_tiles_pallas(proj: ProjectedGaussians, height: int, width: int,
     n_tiles = tiles_y * tiles_x
     p = tile * tile
 
+    quantum = min(config.quantum, config.chunk_e)
     bins = bin_gaussians_aligned(proj, height, width, config.max_entries,
-                                 config.max_per_tile, config.chunk_e, tile)
+                                 config.max_per_tile, quantum, tile)
     pcfg = PallasBlendConfig(
-        chunk_e=config.chunk_e,
+        chunk_e=config.chunk_e, quantum=quantum,
         interpret=not _on_tpu())
     inv_depth = 1.0 / jnp.maximum(proj.depth, 1e-6)
-    n_chunk_per_tile = -(-bins.tile_count // config.chunk_e)
-    # Tiles whose aligned run overflows the buffer lost their chunks —
+    n_q_per_tile = -(-bins.tile_count // quantum)
+    # Tiles whose aligned run overflows the buffer lost their quanta —
     # treat them as empty (background) rather than gathering another
     # tile's transmittance.
-    fits = (bins.tile_start + n_chunk_per_tile * config.chunk_e
+    fits = (bins.tile_start + n_q_per_tile * quantum
             <= config.max_entries)
     last_chunk = jnp.where(
         (bins.tile_count > 0) & fits,
-        bins.tile_start // config.chunk_e + n_chunk_per_tile - 1, -1)
+        bins.tile_start // quantum + n_q_per_tile - 1, -1)
     out = blend_entries(proj.means2d, proj.conic, proj.rgb, proj.opacity,
                         inv_depth, bins.owner, bins.gauss_idx,
                         last_chunk.astype(jnp.int32),

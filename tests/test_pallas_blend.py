@@ -16,7 +16,10 @@ from .utils import make_test_camera, random_scene
 
 XLA_CFG = R.RasterizeConfig(max_entries=1 << 12, max_per_tile=256,
                             chunk=16, backend="xla")
-PL_CFG = XLA_CFG._replace(backend="pallas", chunk_e=128)
+PL_CFG = XLA_CFG._replace(backend="pallas", chunk_e=128, quantum=128)
+# Segmented grid steps: two 128-entry quanta (possibly different tiles)
+# per 256-wide step — the production configuration.
+PL_CFG_SEG = XLA_CFG._replace(backend="pallas", chunk_e=256, quantum=128)
 
 
 def _scene(n=80, seed=0):
@@ -28,10 +31,11 @@ def _scene(n=80, seed=0):
 
 
 @pytest.mark.parametrize("seed", [0, 3])
-def test_pallas_forward_matches_xla(seed):
+@pytest.mark.parametrize("pl_cfg", [PL_CFG, PL_CFG_SEG])
+def test_pallas_forward_matches_xla(seed, pl_cfg):
     params, cam, bg = _scene(seed=seed)
     out_x = R.rasterize(*params, cam, 1, bg, config=XLA_CFG)
-    out_p = R.rasterize(*params, cam, 1, bg, config=PL_CFG)
+    out_p = R.rasterize(*params, cam, 1, bg, config=pl_cfg)
     np.testing.assert_allclose(np.asarray(out_p["render"]),
                                np.asarray(out_x["render"]),
                                atol=2e-5, rtol=1e-4)
@@ -43,7 +47,8 @@ def test_pallas_forward_matches_xla(seed):
                                atol=2e-5, rtol=1e-4)
 
 
-def test_pallas_gradients_match_xla():
+@pytest.mark.parametrize("pl_cfg", [PL_CFG, PL_CFG_SEG])
+def test_pallas_gradients_match_xla(pl_cfg):
     params, cam, bg = _scene(seed=1)
     target = jnp.full((3, 32, 48), 0.4)
     tgt_d = jnp.full((1, 32, 48), 0.5)
@@ -57,7 +62,7 @@ def test_pallas_gradients_match_xla():
                 + 0.1 * jnp.mean(out["final_transmittance"]))
 
     g_x = jax.grad(lambda p: loss(p, XLA_CFG))(params)
-    g_p = jax.grad(lambda p: loss(p, PL_CFG))(params)
+    g_p = jax.grad(lambda p: loss(p, pl_cfg))(params)
     names = ["means", "scales", "quats", "opac", "shs"]
     for nm, a, b in zip(names, g_p, g_x):
         a, b = np.asarray(a), np.asarray(b)
