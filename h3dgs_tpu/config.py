@@ -86,6 +86,9 @@ class RuntimeConfig:
     # sum(ceil(count_t/chunk_e))*chunk_e slots; the adaptive budget
     # tracks that need.
     chunk_e: int = 256
+    # Per-tile alignment quantum of the entry stream (<= chunk_e); the
+    # kernel handles several quanta per grid step (segmented prefix).
+    quantum: int = 128
     # Follow the observed per-view duplicate count with a bucketed entry
     # budget (train/loop._entry_bucket); max_entries becomes the cap.
     adaptive_entries: bool = True

@@ -30,7 +30,8 @@ def raster_config(cfg: FullConfig) -> RasterizeConfig:
     r = cfg.runtime
     return RasterizeConfig(tile=r.tile, max_entries=r.max_entries,
                            max_per_tile=r.max_per_tile,
-                           chunk=r.blend_chunk, chunk_e=r.chunk_e)
+                           chunk=r.blend_chunk, chunk_e=r.chunk_e,
+                           quantum=r.quantum)
 
 
 def _entry_bucket(n_dup: int, floor: int, cap: int) -> int:
