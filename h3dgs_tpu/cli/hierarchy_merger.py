@@ -53,12 +53,18 @@ def merge_chunks(trained_dir: str, chunks_dir: str, output: str,
 
 
 def main(argv=None):
-    argv = argv if argv is not None else sys.argv[1:]
+    argv = list(argv if argv is not None else sys.argv[1:])
+    backend = "auto"
+    if "--backend" in argv:
+        i = argv.index("--backend")
+        backend = argv[i + 1]
+        del argv[i:i + 2]
     if len(argv) < 5:
         print(__doc__)
+        print("options: --backend auto|native|numpy")
         sys.exit(2)
     trained_dir, _zero, chunks_dir, output = argv[:4]
-    merge_chunks(trained_dir, chunks_dir, output, argv[4:])
+    merge_chunks(trained_dir, chunks_dir, output, argv[4:], backend=backend)
 
 
 if __name__ == "__main__":

@@ -159,7 +159,13 @@ def _aligned_from_sorted(gauss_idx, tile_start, tile_count, total, n_tiles,
     ttab = jnp.stack([tile_start, count, astart,
                       astart + aligned], axis=1)                  # [T, 4]
     trows = ttab[owner_c]                                         # [C, 4]
-    used = chunk_pos < trows[:, 3]
+    # A tile participates only if its WHOLE aligned run fits the buffer:
+    # keeping the in-bounds prefix of a straddling tile would feed partial
+    # splat color into the blend while the trans gather falls back to 1.0
+    # (background), double-exposing those pixels. All-or-nothing keeps
+    # overflow = clean background for exactly the tiles that overflowed.
+    tile_fits = trows[:, 3] <= d
+    used = (chunk_pos < trows[:, 3]) & tile_fits
     owner = jnp.where(used, owner_c, -1)
 
     chunk_rank = chunk_pos - trows[:, 2]                          # [C]

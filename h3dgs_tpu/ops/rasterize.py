@@ -219,6 +219,15 @@ def blend_tiles_pallas(proj: ProjectedGaussians, height: int, width: int,
     p = tile * tile
 
     quantum = min(config.quantum, config.chunk_e)
+    if config.chunk_e % quantum:
+        raise ValueError(
+            f"chunk_e ({config.chunk_e}) must be a multiple of quantum "
+            f"({quantum})")
+    if config.max_entries % config.chunk_e:
+        raise ValueError(
+            f"max_entries ({config.max_entries}) must be a multiple of "
+            f"chunk_e ({config.chunk_e}); otherwise the blend grid leaves "
+            "trailing quanta unprocessed but still consumed downstream")
     bins = bin_gaussians_aligned(proj, height, width, config.max_entries,
                                  config.max_per_tile, quantum, tile)
     pcfg = PallasBlendConfig(

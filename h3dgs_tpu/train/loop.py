@@ -28,7 +28,10 @@ from .step import ViewBatch, densify_step, make_train_step, reset_opacity_step
 
 def raster_config(cfg: FullConfig) -> RasterizeConfig:
     r = cfg.runtime
-    return RasterizeConfig(tile=r.tile, max_entries=r.max_entries,
+    # Round a user-supplied budget up to a whole number of grid steps —
+    # the blend rejects non-multiples (trailing quanta would be dropped).
+    max_entries = -(-r.max_entries // r.chunk_e) * r.chunk_e
+    return RasterizeConfig(tile=r.tile, max_entries=max_entries,
                            max_per_tile=r.max_per_tile,
                            chunk=r.blend_chunk, chunk_e=r.chunk_e,
                            quantum=r.quantum)
@@ -128,7 +131,7 @@ def train_flat(cfg: FullConfig, scene: Scene, coarse: bool = False,
     # Adaptive entry budget: start one bucket down from the cap and follow
     # the observed duplicate count (see _entry_bucket). Grows immediately
     # on pressure, shrinks only after a sustained quiet window.
-    entry_cap = cfg.runtime.max_entries
+    entry_cap = r_cfg.max_entries  # rounded to whole grid steps
     entry_floor = min(1 << 17, entry_cap)
     if cfg.runtime.adaptive_entries:
         r_cfg = r_cfg._replace(max_entries=max(entry_cap // 2, entry_floor))

@@ -1,5 +1,10 @@
 """Cumulative-prefix timing of bin_gaussians_aligned internals on TPU.
 
+NOTE: the staged body below is a hand-inlined SNAPSHOT of the production
+binning as of the session it was written (it predates the tight tile
+culling) — treat deltas as indicative, and re-sync the copy before
+trusting absolute numbers.
+
 Run: /opt/venv/bin/python scripts/profile_bin_stages.py
 """
 from __future__ import annotations

@@ -32,11 +32,12 @@ def main():
     packed = jnp.asarray(packed)
 
     for ce in (128, 256, 512):
+        # owner is per QUANTUM; quantum=ce keeps one owner per grid step
+        # (pure step-width comparison, no segmentation).
         n_chunks = d // ce
-        # every chunk used, owners increase every ~n_chunks/n_tiles chunks
         owner = jnp.asarray(
             (np.arange(n_chunks) * n_tiles // n_chunks).astype(np.int32))
-        cfg = PallasBlendConfig(chunk_e=ce)
+        cfg = PallasBlendConfig(chunk_e=ce, quantum=ce)
         fn = jax.jit(lambda p, o, _cfg=cfg: pallas_blend_fwd(
             p, o, tiles_x=tiles_x, tile=tile, cfg=_cfg))
         out = fn(packed, owner)

@@ -51,7 +51,8 @@ def main():
     shs[:, 0] = rgb_to_sh(rng.uniform(0.1, 0.9, (n, 3)))
     cam = look_at_camera(eye=(0.0, -1.0, -6.0), target=(0, 0, 0), fovx=1.2,
                          width=w, height=h)
-    cfg = RasterizeConfig(max_entries=1 << 21, max_per_tile=4096, chunk_e=256)
+    cfg = RasterizeConfig(max_entries=1 << 21, max_per_tile=4096,
+                          chunk_e=256, quantum=128)
     d = cfg.max_entries
     params = tuple(jnp.asarray(a) for a in (means, scales, quats, opac, shs))
     proj = jax.jit(lambda m, s, q, o, sh: project_gaussians(
@@ -59,7 +60,7 @@ def main():
     float(jnp.sum(proj.means2d))
 
     bins = jax.jit(lambda p: binning.bin_gaussians_aligned(
-        p, h, w, cfg.max_entries, cfg.max_per_tile, cfg.chunk_e))(proj)
+        p, h, w, cfg.max_entries, cfg.max_per_tile, cfg.quantum))(proj)
     print("total entries:", int(bins.total_entries),
           " capacity:", d)
 
@@ -119,8 +120,8 @@ def main():
                                    bins.gauss_idx)
     float(jnp.sum(packed))
     tiles_y, tiles_x = binning.num_tiles(h, w)
-    pcfg = PallasBlendConfig(chunk_e=cfg.chunk_e)
-    n_chunks = d // cfg.chunk_e
+    pcfg = PallasBlendConfig(chunk_e=cfg.chunk_e, quantum=cfg.quantum)
+    n_chunks = d // cfg.quantum
 
     t = bench_fn(lambda pk: pallas_blend_fwd(pk, bins.owner,
                                              tiles_x=tiles_x, tile=16,

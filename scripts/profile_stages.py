@@ -62,7 +62,8 @@ def main():
     shs[:, 1:] = rng.normal(0, 0.05, (n, 15, 3))
     cam = look_at_camera(eye=(0.0, -1.0, -6.0), target=(0, 0, 0), fovx=1.2,
                          width=w, height=h)
-    cfg = RasterizeConfig(max_entries=1 << 21, max_per_tile=4096, chunk_e=256)
+    cfg = RasterizeConfig(max_entries=1 << 21, max_per_tile=4096,
+                          chunk_e=256, quantum=128)
     bg = jnp.zeros(3, jnp.float32)
     params = tuple(jnp.asarray(a) for a in (means, scales, quats, opac, shs))
     target = jnp.zeros((3, h, w), jnp.float32) + 0.3
@@ -77,20 +78,20 @@ def main():
 
     t = bench_fn(lambda m2d, *rest: binning.bin_gaussians_aligned(
         proj._replace(means2d=m2d), h, w, cfg.max_entries, cfg.max_per_tile,
-        cfg.chunk_e), (proj.means2d,))
+        cfg.quantum), (proj.means2d,))
     print(f"bin_aligned           : {t * 1e3:8.2f} ms")
 
     bins = jax.jit(lambda p: binning.bin_gaussians_aligned(
-        p, h, w, cfg.max_entries, cfg.max_per_tile, cfg.chunk_e))(proj)
+        p, h, w, cfg.max_entries, cfg.max_per_tile, cfg.quantum))(proj)
     float(jnp.sum(bins.gauss_idx))  # true sync
     tiles_y, tiles_x = binning.num_tiles(h, w)
     n_tiles = tiles_y * tiles_x
-    pcfg = PallasBlendConfig(chunk_e=cfg.chunk_e)
+    pcfg = PallasBlendConfig(chunk_e=cfg.chunk_e, quantum=cfg.quantum)
     inv_depth = 1.0 / jnp.maximum(proj.depth, 1e-6)
-    n_chunk_per_tile = -(-bins.tile_count // cfg.chunk_e)
+    n_q_per_tile = -(-bins.tile_count // cfg.quantum)
     last_chunk = jnp.where(bins.tile_count > 0,
-                           bins.tile_start // cfg.chunk_e
-                           + n_chunk_per_tile - 1, -1).astype(jnp.int32)
+                           bins.tile_start // cfg.quantum
+                           + n_q_per_tile - 1, -1).astype(jnp.int32)
 
     t = bench_fn(lambda m2d: pack_entries(
         m2d, proj.conic, proj.rgb, proj.opacity, inv_depth, bins.gauss_idx),

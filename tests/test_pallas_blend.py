@@ -90,22 +90,26 @@ def test_pallas_screenspace_grads():
     assert np.abs(g_x).max() > 0
 
 
-def test_aligned_overflow_accounting():
+# Budgets above the raw duplicate count (393) but below the aligned
+# need (768): pure aligned-stream overflow, including straddles.
+@pytest.mark.parametrize("budget", [512, 640])
+def test_aligned_overflow_accounting(budget):
     """When the chunk-padded aligned stream exceeds max_entries, the need
     is reported via n_duplicates and overflowed tiles degrade to clean
-    background instead of gathering another tile's transmittance."""
+    background instead of gathering another tile's transmittance. The
+    budget sweep makes some tile's aligned run STRADDLE the buffer end —
+    its resident prefix must not leak partial color over the background
+    (all-or-nothing per tile)."""
     params, cam, bg = _scene(n=200, seed=4)
     big = R.rasterize(*params, cam, 1, bg, config=PL_CFG)
     need = int(big["n_duplicates"])
-    assert need > 0
+    assert need > budget
 
-    # A buffer far below the aligned need: must report the true need.
-    tiny = PL_CFG._replace(max_entries=1 << 9, chunk_e=128)
+    tiny = PL_CFG._replace(max_entries=budget, chunk_e=128)
     out = R.rasterize(*params, cam, 1, bg, config=tiny)
     assert int(out["n_duplicates"]) >= need
     img = np.asarray(out["render"])
     full = np.asarray(big["render"])
-    h, w = img.shape[1:]
     bgc = np.asarray(bg)[:, None, None]
     # Every pixel is either (nearly) the full render (tile fit) or the
     # pure background (tile dropped) — never garbage.
@@ -113,3 +117,13 @@ def test_aligned_overflow_accounting():
     is_full = np.all(np.abs(img - full) < 1e-4, axis=0)
     assert np.all(is_bg | is_full)
     assert is_bg.any()
+
+
+def test_invalid_shape_configs_rejected():
+    params, cam, bg = _scene(n=20, seed=5)
+    with pytest.raises(ValueError, match="multiple of"):
+        R.rasterize(*params, cam, 1, bg, config=PL_CFG._replace(
+            max_entries=(1 << 10) + 128, chunk_e=256, quantum=128))
+    with pytest.raises(ValueError, match="multiple of"):
+        R.rasterize(*params, cam, 1, bg, config=PL_CFG._replace(
+            max_entries=1 << 10, chunk_e=256, quantum=96))
