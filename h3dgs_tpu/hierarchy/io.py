@@ -73,4 +73,9 @@ def write_anchors(path: str, anchors: np.ndarray) -> None:
 def read_anchors(path: str) -> np.ndarray:
     with open(path, "rb") as f:
         (n,) = struct.unpack("<I", f.read(4))
-        return np.fromfile(f, dtype="<i4", count=n)
+        out = np.fromfile(f, dtype="<i4", count=n)
+        if out.size != n:
+            raise ValueError(
+                f"truncated anchors file {path}: expected {n} ids, "
+                f"got {out.size}")
+        return out

@@ -49,6 +49,7 @@ def prune_to_box(h: Hierarchy, box_min: np.ndarray, box_max: np.ndarray,
     dsorted = depth[by_depth]
     max_d = int(dsorted[-1])
     level_start = np.searchsorted(dsorted, np.arange(max_d + 2))
+    max_nc = int(nodes[:, N_CHILDREN].max(initial=0))
     for d in range(max_d - 1, -1, -1):
         idx = by_depth[level_start[d]:level_start[d + 1]]
         interior = nodes[idx, N_CHILDREN] > 0
@@ -57,9 +58,10 @@ def prune_to_box(h: Hierarchy, box_min: np.ndarray, box_max: np.ndarray,
             continue
         fc = nodes[pi, FIRST_CHILD]
         nc = nodes[pi, N_CHILDREN]
-        kept_children = keep[fc].astype(np.int32)
-        kept_children += np.where(nc > 1, keep[np.minimum(fc + 1, m - 1)], 0)
-        keep[pi] = keep[pi] | (kept_children > 0)
+        any_kept = np.zeros(pi.shape, bool)
+        for j in range(max_nc):    # children are contiguous [fc, fc+nc)
+            any_kept |= (j < nc) & keep[np.minimum(fc + j, m - 1)]
+        keep[pi] = keep[pi] | any_kept
 
     if not keep.any():
         raise ValueError("chunk box owns no leaves")
@@ -72,11 +74,13 @@ def prune_to_box(h: Hierarchy, box_min: np.ndarray, box_max: np.ndarray,
     old_nc = nodes[kept_idx, N_CHILDREN]
     interior = old_nc > 0
     fc_safe = np.maximum(old_fc, 0)
-    second = np.minimum(fc_safe + 1, m - 1)
-    k1 = keep[fc_safe] & interior
-    k2 = keep[second] & (old_nc > 1)
-    first_kept = np.where(k1, fc_safe, second)
-    n_kept = k1.astype(np.int32) + k2.astype(np.int32)
+    n_kept = np.zeros(kept_idx.shape, np.int32)
+    first_kept = fc_safe.copy()
+    for j in range(max_nc - 1, -1, -1):
+        child = np.minimum(fc_safe + j, m - 1)
+        kj = interior & (j < old_nc) & keep[child]
+        n_kept += kj.astype(np.int32)
+        first_kept = np.where(kj, child, first_kept)
     nn[:, N_CHILDREN] = np.where(interior, n_kept, 0)
     nn[:, FIRST_CHILD] = np.where(interior & (n_kept > 0),
                                   new_id[first_kept], -1)
@@ -183,8 +187,8 @@ def merge_hierarchies(hierarchies: Sequence[Hierarchy],
     xyz[0], shs[0], alpha[0] = r_xyz, r_shs, r_alpha
     scaling[0], rotation[0] = r_scaling, r_rot
     nodes[0] = (-1, 1, k, 0)
-    boxes[0, 0] = cat("boxes")[:, 0].min(axis=0)
-    boxes[0, 1] = cat("boxes")[:, 1].max(axis=0)
+    boxes[0, 0] = boxes[1:, 0].min(axis=0)
+    boxes[0, 1] = boxes[1:, 1].max(axis=0)
 
     anchors = np.concatenate(
         [pos[b + h.anchors] for b, h in zip(base, pruned)

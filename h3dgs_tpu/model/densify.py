@@ -99,6 +99,11 @@ def densify_and_prune(state: GaussianState, rng: jax.Array, max_grad: float,
         d, ok = dest_of(n_clones + n_split * split_rank + j, split_sel)
         split_dest.append(d)
         split_ok.append(ok)
+    # A split is all-or-nothing: only rows whose EVERY child got a slot
+    # are split (ranks are monotone in j, so ok[-1] implies the rest).
+    # Partially-placed splits would erode the original's mass.
+    split_all = split_ok[-1] if split_ok else clone_sel & False
+    split_dest = [jnp.where(split_all, d, c) for d in split_dest]
 
     # --- build new rows ---
     # Clones are verbatim copies. Split children perturb position by a
@@ -130,7 +135,7 @@ def densify_and_prune(state: GaussianState, rng: jax.Array, max_grad: float,
         alive = alive.at[split_dest[j]].set(True, mode="drop")
 
     # --- kill split originals and low-opacity rows ---
-    split_done = split_ok[0]
+    split_done = split_all
     prune_sel = (opac < min_opacity) & state.alive & ~protected
     alive = alive & ~split_done & ~prune_sel
 
@@ -150,8 +155,9 @@ def densify_and_prune(state: GaussianState, rng: jax.Array, max_grad: float,
     )
     n_cloned = jnp.sum(clone_ok.astype(jnp.int32))
     n_split_done = jnp.sum(split_done.astype(jnp.int32))
-    n_dropped = (jnp.sum(clone_sel.astype(jnp.int32)) - n_cloned) + sum(
-        jnp.sum((split_sel & ~ok).astype(jnp.int32)) for ok in split_ok)
+    n_dropped = (jnp.sum(clone_sel.astype(jnp.int32)) - n_cloned
+                 + n_split * jnp.sum((split_sel & ~split_all)
+                                     .astype(jnp.int32)))
     return DensifyResult(
         state=state,
         touched_rows=touched,

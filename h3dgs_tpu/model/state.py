@@ -142,18 +142,30 @@ def from_arrays(xyz, features_dc, features_rest, opacity, scaling, rotation,
     rest = np.zeros((n, SH_REST, 3), np.float32)
     fr = np.asarray(features_rest, np.float32)
     rest[:, :fr.shape[1], :] = fr
-    return dataclasses.replace(
-        st,
-        xyz=st.xyz.at[:n].set(jnp.asarray(xyz, jnp.float32)),
-        features_dc=st.features_dc.at[:n].set(
-            jnp.asarray(features_dc, jnp.float32).reshape(n, 1, 3)),
-        features_rest=st.features_rest.at[:n].set(rest),
-        opacity=st.opacity.at[:n].set(
-            jnp.asarray(opacity, jnp.float32).reshape(n, 1)),
-        scaling=st.scaling.at[:n].set(jnp.asarray(scaling, jnp.float32)),
-        rotation=st.rotation.at[:n].set(jnp.asarray(rotation, jnp.float32)),
-        alive=st.alive.at[:n].set(True),
-    )
+    arrs = dict(
+        xyz=jnp.asarray(xyz, jnp.float32),
+        features_dc=jnp.asarray(features_dc, jnp.float32).reshape(n, 1, 3),
+        features_rest=jnp.asarray(rest),
+        opacity=jnp.asarray(opacity, jnp.float32).reshape(n, 1),
+        scaling=jnp.asarray(scaling, jnp.float32),
+        rotation=jnp.asarray(rotation, jnp.float32))
+
+    n_sky = int(static_kw.get("n_skybox", 0) or 0)
+    sky_last = bool(static_kw.get("skybox_last", False))
+    if sky_last and n_sky > 0 and capacity > n:
+        # Every skybox_last consumer (locked_rows_mask, reset_opacity,
+        # render_cut's sky slice) addresses the LAST rows of *capacity* —
+        # with padding, physically place the trailing skybox rows there.
+        body = n - n_sky
+        upd = {k: getattr(st, k).at[:body].set(v[:body])
+               .at[capacity - n_sky:].set(v[body:])
+               for k, v in arrs.items()}
+        alive = (st.alive.at[:body].set(True)
+                 .at[capacity - n_sky:].set(True))
+    else:
+        upd = {k: getattr(st, k).at[:n].set(v) for k, v in arrs.items()}
+        alive = st.alive.at[:n].set(True)
+    return dataclasses.replace(st, alive=alive, **upd)
 
 
 def default_opacity_init(n: int, value: float = 0.01) -> np.ndarray:

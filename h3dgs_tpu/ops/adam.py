@@ -72,7 +72,7 @@ def reset_rows(state: AdamState, row_mask: jax.Array,
     Mirrors the reference's optimizer-state surgery on prune/cat/replace
     (gaussian_model.py:528-597) under fixed capacity.
     """
-    keys = set(keys or state.mu.keys())
+    keys = set(state.mu.keys() if keys is None else keys)
     mu = dict(state.mu)
     nu = dict(state.nu)
     for k in keys:

@@ -128,7 +128,13 @@ def project_gaussians(
         dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True).clip(1e-12)
         rgb = jnp.maximum(sh_utils.eval_sh(sh_degree, shs, dirs) + 0.5, 0.0)
 
-    valid = (depth > NEAR_CULL_Z) & det_ok & (radius_f > 0.0)
+    # Opacity cull is lossless: alpha = opac*exp(power) <= opac, and the
+    # blend skips alpha < 1/255, so rows below that bound contribute
+    # exactly zero. Crucially this stops DEAD capacity-padding rows (which
+    # the trainer masks via opacity 0 but whose stale geometry still
+    # projects) from consuming entry budget and reading as "visible".
+    valid = ((depth > NEAR_CULL_Z) & det_ok & (radius_f > 0.0)
+             & (opacities >= 1.0 / 255.0))
     radius = jnp.where(valid, radius_f, 0.0).astype(jnp.int32)
 
     return ProjectedGaussians(

@@ -401,6 +401,9 @@ int64_t h3dgs_merge_hierarchies(
     const float* px = xyz + 3 * base[c];
     std::vector<uint8_t> keep(m, 0);
     for (int64_t i = 0; i < m; i++) {
+      // This prune (like merge.py's binary fast path) assumes creator
+      // output: at most two children per node.
+      if (nd[4 * i + N_CHILDREN] > 2) return -3;
       bool leaf = nd[4 * i + N_CHILDREN] == 0;
       bool owned = px[3 * i + 0] >= box_min[3 * c + 0] &&
                    px[3 * i + 0] <= box_max[3 * c + 0] &&

@@ -82,3 +82,35 @@ def test_merge_two_chunks():
         jnp.asarray(1e12, jnp.float32), jnp.asarray([0.0, 0.0, -30.0]),
         max_cut=4)
     assert int(c1.count) == 1
+
+
+def test_prune_merged_tree_with_wide_root():
+    """prune_to_box on an already-merged tree (root with K>2 children)
+    must consider every child (review finding)."""
+    hs, centers, extents = [], [], []
+    for i, cx in enumerate((-2.0, 2.0, 6.0)):
+        means, scales, quats, opac, shs = random_scene(40, seed=i,
+                                                       sh_degree=1)
+        means = means + np.array([cx, 0.0, 0.0], np.float32)
+        hs.append(tree_lib.build_hierarchy(
+            means, shs, opac, np.log(scales), quats, backend="numpy"))
+        centers.append(np.array([cx, 0.0, 0.0], np.float32))
+        extents.append(np.array([4.0, 100.0, 100.0], np.float32))
+    merged = merge_lib.merge_hierarchies(hs, centers, extents)
+    assert merged.nodes[merged.root][tree_lib.N_CHILDREN] == 3
+
+    # A box covering everything: nothing should be pruned.
+    pruned = merge_lib.prune_to_box(
+        merged, np.array([-100.0, -100.0, -100.0], np.float32),
+        np.array([100.0, 100.0, 100.0], np.float32))
+    assert pruned.n_nodes == merged.n_nodes
+    pruned.validate()
+
+    # A box covering only the third chunk: its subtree must survive.
+    pruned = merge_lib.prune_to_box(
+        merged, np.array([4.5, -100.0, -100.0], np.float32),
+        np.array([100.0, 100.0, 100.0], np.float32))
+    pruned.validate()
+    assert pruned.n_leaves > 0
+    assert np.all(pruned.xyz[pruned.nodes[:, tree_lib.N_CHILDREN] == 0, 0]
+                  > 4.0)

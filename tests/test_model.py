@@ -150,3 +150,79 @@ def test_pt_format_roundtrip(tmp_path):
                               np.float32).reshape(n, 16, 3)
         np.testing.assert_array_equal(feats[:, :1], arrs["features_dc"])
         np.testing.assert_array_equal(feats[:, 1:], arrs["features_rest"])
+
+
+def test_dead_rows_consume_no_entry_budget():
+    """Capacity padding rows (opacity 0) must not project, bin, or read
+    as visible — with capacity_factor=8 most rows are dead and used to
+    eat the duplication budget (review finding)."""
+    import jax.numpy as jnp
+
+    from h3dgs_tpu.ops.rasterize import RasterizeConfig, rasterize
+    from tests.utils import make_test_camera, random_scene
+
+    means, scales, quats, opac, shs = random_scene(50, seed=0, sh_degree=1)
+    st = S.from_arrays(
+        xyz=means, features_dc=shs[:, :1], features_rest=shs[:, 1:],
+        opacity=np.full((50, 1), 2.0, np.float32),
+        scaling=np.log(scales), rotation=quats,
+        capacity=400, max_sh_degree=1)
+    cam = make_test_camera(width=48, height=32)
+    cfg = RasterizeConfig(max_entries=1 << 12, max_per_tile=256)
+    out = rasterize(st.xyz, st.get_scaling(), st.get_rotation(),
+                    st.get_opacity()[:, 0], st.get_features(1), cam, 1,
+                    jnp.zeros(3), config=cfg)
+    vis = np.asarray(out["visibility_filter"])
+    assert not vis[50:].any(), "dead padding rows reported visible"
+
+    ref = rasterize(jnp.asarray(means), jnp.asarray(scales),
+                    jnp.asarray(quats), jnp.asarray(opac) * 0 + 0.88,
+                    jnp.asarray(shs), cam, 1, jnp.zeros(3), config=cfg)
+    st_dup = int(out["n_duplicates"])
+    # padded state's duplicate count must match a dense 50-row render's
+    # scale (not 8x it); allow slack for opacity-dependent culling.
+    assert st_dup <= int(ref["n_duplicates"]) * 2
+
+
+def test_skybox_last_rows_relocated_with_padding():
+    """skybox_last + capacity padding: the skybox must sit in the last
+    capacity rows (what locked_rows_mask/reset_opacity/render_cut
+    address), not buried mid-array (review finding)."""
+    n, n_sky, cap = 8, 3, 12
+    rng = np.random.default_rng(0)
+    xyz = rng.normal(size=(n, 3)).astype(np.float32)
+    st = S.from_arrays(
+        xyz=xyz,
+        features_dc=np.zeros((n, 1, 3), np.float32),
+        features_rest=np.zeros((n, 0, 3), np.float32),
+        opacity=np.ones((n, 1), np.float32),
+        scaling=np.zeros((n, 3), np.float32),
+        rotation=np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1)),
+        capacity=cap, max_sh_degree=0, n_skybox=n_sky, skybox_last=True)
+    locked = np.asarray(st.locked_rows_mask())
+    alive = np.asarray(st.alive)
+    # The 3 locked rows are alive and hold the last 3 input rows.
+    assert locked.sum() == n_sky
+    assert alive[locked].all()
+    np.testing.assert_array_equal(np.asarray(st.xyz)[cap - n_sky:],
+                                  xyz[n - n_sky:])
+    # Body rows intact; padding rows dead.
+    np.testing.assert_array_equal(np.asarray(st.xyz)[:n - n_sky],
+                                  xyz[:n - n_sky])
+    assert not alive[n - n_sky:cap - n_sky].any()
+
+
+def test_adam_reset_rows_empty_keys_is_noop():
+    import jax.numpy as jnp
+
+    from h3dgs_tpu.ops import adam as A
+
+    params = {"a": jnp.ones((4, 2)), "b": jnp.ones((4,))}
+    st = A.init(params)
+    st = dataclasses.replace(
+        st, mu={k: v + 1 for k, v in st.mu.items()})
+    mask = jnp.asarray([True, False, True, False])
+    out = A.reset_rows(st, mask, keys=[])
+    for k in st.mu:
+        np.testing.assert_array_equal(np.asarray(out.mu[k]),
+                                      np.asarray(st.mu[k]))
