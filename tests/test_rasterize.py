@@ -152,3 +152,30 @@ def test_binning_counts_are_exact():
     for t in range(tiles_y * tiles_x):
         ds = [depth[gauss[e]] for e in range(start[t], start[t] + count[t])]
         assert all(ds[i] <= ds[i + 1] for i in range(len(ds) - 1))
+
+
+def test_render_facade_matches_reference_shape():
+    """h3dgs_tpu.render exposes the reference's call shape and keys."""
+    import jax.numpy as jnp
+
+    from h3dgs_tpu import render as facade
+    from h3dgs_tpu.model import state as S
+
+    means, scales, quats, opac, shs = random_scene(30, seed=2, sh_degree=1)
+    st = S.from_arrays(
+        xyz=means, features_dc=shs[:, :1], features_rest=shs[:, 1:],
+        opacity=np.full((30, 1), 1.0, np.float32),
+        scaling=np.log(scales), rotation=quats,
+        capacity=30, max_sh_degree=1)
+    cam = make_test_camera(width=48, height=32)
+    cfg = R.RasterizeConfig(max_entries=1 << 12, max_per_tile=128)
+    out = facade.render(cam, st, jnp.zeros(3), config=cfg)
+    assert set(out) >= {"render", "depth", "viewspace_points",
+                        "visibility_filter", "radii"}
+    assert out["render"].shape == (3, 32, 48)
+    assert out["depth"].shape == (1, 32, 48)
+    assert np.asarray(out["visibility_filter"]).any()
+
+    coarse = facade.render_coarse(cam, st, jnp.zeros(3), config=cfg)
+    np.testing.assert_allclose(np.asarray(coarse["render"]),
+                               np.asarray(out["render"]), atol=1e-6)
