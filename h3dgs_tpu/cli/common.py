@@ -28,7 +28,10 @@ def add_dataclass_args(parser: argparse.ArgumentParser, cls, prefix="") -> None:
         if name in _SHORTHANDS:
             flags.append(f"-{_SHORTHANDS[name]}")
         if isinstance(default, bool):
-            parser.add_argument(*flags, action="store_true",
+            # BooleanOptionalAction adds --name / --no-name so bools that
+            # default True can actually be disabled from the CLI.
+            parser.add_argument(*flags,
+                                action=argparse.BooleanOptionalAction,
                                 default=default)
         else:
             parser.add_argument(*flags, type=type(default), default=default)

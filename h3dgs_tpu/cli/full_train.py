@@ -182,9 +182,14 @@ def main(argv=None):
                 ["sbatch", f"--error={trained}/log.err",
                  f"--output={trained}/log.out",
                  f"--job-name=h3dgs_{name}",
-                 f"--wrap={py} -m h3dgs_tpu.cli.full_train_chunk "
-                 f"{name} {chunks_dir} {output_dir} {images} {depths} "
-                 f"'{masks}' {args.iterations}"])
+                 "--wrap=" + " ".join(
+                     [py, "-m", "h3dgs_tpu.cli.full_train_chunk",
+                      name, chunks_dir, output_dir, images, depths,
+                      f"'{masks}'", str(args.iterations)]
+                     + (["--skip_if_exists"] if args.skip_if_exists else [])
+                     + (["--keep_running"] if args.keep_running else [])
+                     + (["--extra", args.extra_training_args]
+                        if args.extra_training_args else []))])
         pending = dict(job_ids)
         while pending:
             for name, jid in list(pending.items()):

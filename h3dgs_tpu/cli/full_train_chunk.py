@@ -4,6 +4,7 @@ full_train's SLURM backend via sbatch --wrap.
 
   python -m h3dgs_tpu.cli.full_train_chunk <chunk_name> <chunks_dir>
       <output_dir> <images> <depths> <masks> <iterations>
+      [--skip_if_exists] [--keep_running] [--extra <args...>]
 """
 from __future__ import annotations
 
@@ -13,11 +14,23 @@ from .full_train import process_chunk
 
 
 def main(argv=None):
-    a = argv if argv is not None else sys.argv[1:]
+    a = list(argv if argv is not None else sys.argv[1:])
+    skip = keep = False
+    extra = ""
+    if "--skip_if_exists" in a:
+        a.remove("--skip_if_exists")
+        skip = True
+    if "--keep_running" in a:
+        a.remove("--keep_running")
+        keep = True
+    if "--extra" in a:
+        i = a.index("--extra")
+        extra = " ".join(a[i + 1:])
+        a = a[:i]
     name, chunks_dir, output_dir, images, depths, masks, iters = a[:7]
     ok = process_chunk(name, chunks_dir, output_dir, images, depths,
-                       masks.strip("'\""), "", int(iters),
-                       keep_running=False, skip_if_exists=False)
+                       masks.strip("'\""), extra, int(iters),
+                       keep_running=keep, skip_if_exists=skip)
     sys.exit(0 if ok else 1)
 
 

@@ -52,6 +52,28 @@ def create_hierarchy(ply_path: str, chunk_dir: str, out_dir: str,
         print(f"{int(out.sum())}/{xyz.shape[0]} out-of-chunk leaves "
               "marked as anchors")
 
+    # Scaffold-position anchoring (the native tool's 4th argument). The
+    # chunk keeps scaffold rows in a Chebyshev ring >= 0.5x extent, so the
+    # bounds test above already anchors them; exact-position matching
+    # against the scaffold cloud is belt-and-braces for rows that drifted
+    # inside the box (scaffold rows are shrink-protected, not frozen).
+    if scaffold_dir:
+        sc_ply = os.path.join(scaffold_dir, "point_cloud.ply")
+        if os.path.exists(sc_ply):
+            sc = read_gaussian_ply(sc_ply, sh_degree=1)
+            sc_keys = set(map(tuple, np.round(
+                sc["xyz"].astype(np.float64), 5).tolist()))
+            keys = np.round(xyz.astype(np.float64), 5)
+            match = np.fromiter(
+                (tuple(k) in sc_keys for k in keys.tolist()),
+                bool, count=xyz.shape[0])
+            if locked is None:
+                locked = match
+            else:
+                locked = locked | match
+            print(f"{int(match.sum())} scaffold-position leaves "
+                  "marked as anchors")
+
     h = build_hierarchy(xyz, shs, alpha, scaling, rotation,
                         locked_leaf_mask=locked)
     os.makedirs(out_dir, exist_ok=True)

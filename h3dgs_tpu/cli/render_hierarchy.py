@@ -37,6 +37,24 @@ def render_set(scene, cfg, taus, out_dir: str, save_images: bool = True):
     cams = scene.info.test_cameras or scene.info.train_cameras
     pre_exp = scene.pretrained_exposures or {}
     results = {}
+
+    # One compilation per (H, W, has_exposure): views and taus reuse it
+    # (eager dispatch per view would be orders of magnitude slower).
+    import jax
+    render_jit = {}
+
+    def render_one(cam, limit, exp):
+        key = (cam.height, cam.width, exp is not None)
+        if key not in render_jit:
+            @jax.jit
+            def run(cam, limit, exp):
+                return render_cut(scene.state, nodes, boxes, cam, limit,
+                                  cfg.model.sh_degree, bg, r_cfg, max_cut,
+                                  exposure=exp)["render"]
+            render_jit[key] = run
+        if exp is None:
+            return render_jit[key](cam, limit, None)
+        return render_jit[key](cam, limit, exp)
     for tau in taus:
         psnrs, ssims, lpipss = [], [], []
         tau_dir = os.path.join(out_dir, f"tau_{tau}")
@@ -49,12 +67,10 @@ def render_set(scene, cfg, taus, out_dir: str, save_images: bool = True):
             cam = view.camera
             limit = pixel_limit(tau, float(cam.tanfovx), cam.width)
             exp = pre_exp.get(info.image_name)
-            out = render_cut(scene.state, nodes, boxes, cam,
-                             jnp.asarray(limit, jnp.float32),
-                             cfg.model.sh_degree, bg, r_cfg, max_cut,
-                             exposure=(jnp.asarray(exp)
-                                       if exp is not None else None))
-            img = np.asarray(out["render"]).clip(0, 1)
+            render = render_one(cam, jnp.asarray(limit, jnp.float32),
+                                jnp.asarray(exp) if exp is not None
+                                else None)
+            img = np.asarray(render).clip(0, 1)
             gt = np.asarray(view.gt_image)
             if cfg.model.train_test_exp:  # right half only (:98-101)
                 img = img[..., img.shape[-1] // 2:]
@@ -67,7 +83,7 @@ def render_set(scene, cfg, taus, out_dir: str, save_images: bool = True):
             if save_images:
                 from PIL import Image
                 Image.fromarray(
-                    (np.asarray(out["render"]).clip(0, 1)
+                    (np.asarray(render).clip(0, 1)
                      .transpose(1, 2, 0) * 255).astype(np.uint8)).save(
                     os.path.join(tau_dir, f"{vi:05d}.png"))
         res = {"psnr": float(np.mean(psnrs)),

@@ -220,8 +220,12 @@ def read_cameras_text(path: str) -> Dict[int, ColmapCamera]:
 def read_images_text(path: str) -> Dict[int, ColmapImage]:
     imgs = {}
     with open(path) as f:
-        lines = [ln.strip() for ln in f
-                 if ln.strip() and not ln.startswith("#")]
+        # Keep blank lines: an image with zero keypoints has an EMPTY
+        # POINTS2D line, and dropping it would shift the meta/points
+        # pairing for every subsequent image.
+        lines = [ln.strip() for ln in f if not ln.startswith("#")]
+    while lines and not lines[-1]:
+        lines.pop()
     for meta, pts in zip(lines[0::2], lines[1::2]):
         e = meta.split()
         iid = int(e[0])

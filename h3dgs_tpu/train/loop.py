@@ -202,9 +202,12 @@ def train_flat(cfg: FullConfig, scene: Scene, coarse: bool = False,
                        f"loss={log.ema_photo:.5f} "
                        f"depth={log.ema_depth:.5f} "
                        f"alive={n_alive} it/s={rate:.2f}")
-                if n_dup > entry_cap:
-                    msg += (f" ENTRY-OVERFLOW {n_dup}>{entry_cap} "
-                            "(tail tiles dropped; raise --max_entries)")
+                if n_dup > r_cfg.max_entries:
+                    hint = ("grows next window" if n_dup <= entry_cap
+                            else "raise --max_entries")
+                    msg += (f" ENTRY-OVERFLOW {n_dup}>"
+                            f"{r_cfg.max_entries} (tail tiles dropped; "
+                            f"{hint})")
                 print(msg, flush=True)
                 if cfg.runtime.adaptive_entries:
                     want = _entry_bucket(n_dup, entry_floor, entry_cap)

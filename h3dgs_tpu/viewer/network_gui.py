@@ -43,7 +43,27 @@ class NetworkGUI:
             pass
 
     def _read_msg(self) -> dict:
+        """Blocking read of one length-prefixed JSON message."""
         n = int.from_bytes(self._recv_exact(4), "little")
+        return json.loads(self._recv_exact(n).decode("utf-8"))
+
+    def _try_read_msg(self):
+        """One message, or None if none is pending.
+
+        Only the FIRST byte is probed non-blockingly; once any part of a
+        message has arrived the rest is read with a blocking timeout —
+        bailing mid-message would desync the length-prefixed stream.
+        """
+        self.conn.settimeout(0)
+        try:
+            first = self.conn.recv(1)
+        except (BlockingIOError, socket.timeout):
+            return None
+        finally:
+            self.conn.settimeout(10.0)
+        if not first:
+            raise ConnectionResetError
+        n = int.from_bytes(first + self._recv_exact(3), "little")
         return json.loads(self._recv_exact(n).decode("utf-8"))
 
     def _recv_exact(self, n: int) -> bytes:
@@ -84,19 +104,23 @@ class NetworkGUI:
             height=int(h), width=int(w))
 
     def poll(self, state, sh_degree: int, raster_cfg, bg) -> None:
-        """Serve any pending viewer request; called from the train loop."""
+        """Serve any pending viewer request; called from the train loop.
+
+        While the viewer has training paused (train=false with
+        keep_alive), this blocks here serving frames — matching the
+        reference's receive loop (network_gui.py:43-86)."""
         if self.conn is None:
             self._try_connect()
+        paused = False
         while self.conn is not None:
             try:
-                self.conn.settimeout(0)
-                try:
-                    msg = self._read_msg()
-                except (BlockingIOError, socket.timeout):
+                msg = self._try_read_msg()
+                if msg is None:
+                    if paused:
+                        import time
+                        time.sleep(0.005)
+                        continue
                     return
-                finally:
-                    if self.conn is not None:
-                        self.conn.settimeout(None)
                 cam = self._camera_from_msg(msg)
                 payload = None
                 if cam is not None:
@@ -111,7 +135,8 @@ class NetworkGUI:
                 self.keep_alive = bool(msg.get("keep_alive", False))
                 if cam is None and not self.keep_alive:
                     return
-                if bool(msg.get("train", True)):
+                paused = not bool(msg.get("train", True))
+                if not paused:
                     return
             except Exception:
                 traceback.print_exc()

@@ -143,7 +143,16 @@ def serve(renderer: HierarchyRenderer, ip: str = "127.0.0.1",
                 img, _ = renderer.render(cam, tau)
                 payload = memoryview(img.tobytes())
             gui._send(payload)
-        except (ConnectionResetError, OSError):
+        except Exception:
+            # Malformed message / version-mismatched client: drop the
+            # connection, keep serving (a port scan must not kill the
+            # service).
+            import traceback
+            traceback.print_exc()
+            try:
+                gui.conn.close()
+            except OSError:
+                pass
             gui.conn = None
 
 

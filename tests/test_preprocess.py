@@ -311,3 +311,24 @@ def test_depth_scale_recovers_known_transform(tmp_path):
     # inv_colmap = scale * inv_mono + offset => scale ~ 1/a
     np.testing.assert_allclose(s, 1.0 / a_true, rtol=0.1)
     np.testing.assert_allclose(o, -b_true / a_true, atol=0.1)
+
+
+def test_images_text_with_zero_keypoint_image(tmp_path):
+    """An image with an EMPTY POINTS2D line (zero keypoints) must not
+    shift the meta/points pairing of later images (review finding)."""
+    from h3dgs_tpu.io import colmap as C
+
+    txt = tmp_path / "images.txt"
+    txt.write_text(
+        "# images\n"
+        "1 0.9 0.1 0.0 0.0 1.0 2.0 3.0 1 a.jpg\n"
+        "\n"
+        "2 0.8 0.2 0.0 0.0 4.0 5.0 6.0 1 b.jpg\n"
+        "1.5 2.5 7 3.5 4.5 9\n")
+    imgs = C.read_images_text(str(txt))
+    assert set(imgs) == {1, 2}
+    assert imgs[1].name == "a.jpg"
+    assert imgs[1].xys.shape == (0, 2)
+    assert imgs[2].name == "b.jpg"
+    assert imgs[2].xys.shape == (2, 2)
+    np.testing.assert_array_equal(imgs[2].point3d_ids, [7, 9])
