@@ -100,7 +100,50 @@ def main():
     ok = psnr1 > psnr0 + 6.0 and psnr1 > 24.0
     print(f"TPU training validation: {psnr0:.2f} -> {psnr1:.2f} dB "
           f"({'OK' if ok else 'FAILED'})")
-    return 0 if ok else 1
+
+    # --- densification on-chip: clone/split/prune + opacity reset keep
+    # the compiled loop healthy (atomic-split + dead-row-cull paths) ---
+    from h3dgs_tpu.train.step import densify_step, reset_opacity_step
+
+    opt_cfg2 = OptimizationConfig(
+        iterations=200, densify_grad_threshold=1e-7)
+    step2 = step_lib.make_train_step(
+        opt_cfg2, raster, use_depth_loss=False, use_exposure=False,
+        skybox_locked=False, skip_shrink=True)
+    rng2 = np.random.default_rng(1)
+    n0 = 24
+    idx = rng2.choice(gt[0].shape[0], n0, replace=False)
+    st2 = S.from_arrays(
+        xyz=gt[0][idx] + rng2.normal(0, 0.08, (n0, 3)).astype(np.float32),
+        features_dc=rgb_to_sh(np.full((n0, 1, 3), 0.5, np.float32)),
+        features_rest=np.zeros((n0, 15, 3), np.float32),
+        opacity=np.full((n0, 1), 0.5, np.float32),
+        scaling=np.full((n0, 3), np.log(0.18), np.float32),
+        rotation=np.tile(np.array([1, 0, 0, 0], np.float32), (n0, 1)),
+        capacity=128, max_sh_degree=0)
+    opt2 = A.init(st2.trainable_dict())
+    exp2 = jnp.tile(jnp.eye(3, 4)[None], (len(cams), 1, 1))
+    eopt2 = A.init({"exposure": exp2})
+    key = jax.random.PRNGKey(7)
+    n_start = int(st2.n_alive)
+    for it in range(1, 201):
+        out2 = step2(st2, opt2, exp2, eopt2, batch_for(it % len(cams)),
+                     jnp.asarray(it, jnp.float32), bg,
+                     jnp.asarray(1.0), jnp.asarray(4.0), 0)
+        st2, opt2 = out2.state, out2.opt
+        exp2, eopt2 = out2.exposure, out2.exposure_opt
+        if it % 60 == 0:
+            key, k = jax.random.split(key)
+            st2, opt2, stats = densify_step(st2, opt2, k, 1e-7, 0.005,
+                                            jnp.asarray(4.0), 0.01)
+        if it == 120:
+            st2, opt2 = reset_opacity_step(st2, opt2)
+    n_end = int(st2.n_alive)
+    dens_ok = n_end > n_start and np.isfinite(float(out2.photo_loss))
+    print(f"TPU densify validation: alive {n_start} -> {n_end}, "
+          f"loss={float(out2.photo_loss):.5f} "
+          f"({'OK' if dens_ok else 'FAILED'})")
+    return 0 if (ok and dens_ok) else 1
 
 
 if __name__ == "__main__":
