@@ -1,0 +1,85 @@
+"""Property test: the aligned entry stream == a brute-force numpy binning.
+
+Replicates the binning rules (getRect bounding square, lossless tile-max
+alpha cull, depth-bits ordering, per-tile cap, quantum alignment) in
+plain numpy and requires the production stream to match exactly for
+random scenes. Guards the sort/relayout/cull pipeline against
+refactoring drift.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from h3dgs_tpu.ops import binning
+from h3dgs_tpu.ops.projection import project_gaussians
+
+from .utils import make_test_camera, random_scene
+
+
+def _brute_force(proj, height, width, max_per_tile, quantum, tile):
+    tiles_y, tiles_x = binning.num_tiles(height, width, tile)
+    x = np.asarray(proj.means2d[:, 0], np.float64)
+    y = np.asarray(proj.means2d[:, 1], np.float64)
+    r = np.asarray(proj.radius, np.float64)
+    depth = np.asarray(proj.depth, np.float32)
+    valid = np.asarray(proj.valid)
+    conic = np.asarray(proj.conic, np.float64)
+    opac = np.asarray(proj.opacity, np.float64)
+
+    lam_min = np.maximum(
+        0.5 * (conic[:, 0] + conic[:, 2])
+        - np.sqrt(0.25 * (conic[:, 0] - conic[:, 2]) ** 2
+                  + conic[:, 1] ** 2), 1e-12)
+    t_cmp = 2.0 * np.log(np.maximum(255.0 * opac, 1e-12)) / lam_min
+
+    per_tile = {t: [] for t in range(tiles_y * tiles_x)}
+    order = np.argsort(
+        np.maximum(depth, 0.0).view(np.int32), kind="stable")
+    for g in order:
+        if not (valid[g] and r[g] > 0):
+            continue
+        x0t = int(np.clip((x[g] - r[g]) / tile, 0, tiles_x))
+        y0t = int(np.clip((y[g] - r[g]) / tile, 0, tiles_y))
+        x1t = int(np.clip((x[g] + r[g] + tile - 1) // tile, 0, tiles_x))
+        y1t = int(np.clip((y[g] + r[g] + tile - 1) // tile, 0, tiles_y))
+        for ty in range(y0t, y1t):
+            for tx in range(x0t, x1t):
+                bx0, by0 = tx * tile, ty * tile
+                dxe = max(bx0 - x[g], x[g] - (bx0 + tile - 1), 0.0)
+                dye = max(by0 - y[g], y[g] - (by0 + tile - 1), 0.0)
+                if np.float32(dxe * dxe + dye * dye) > np.float32(t_cmp[g]):
+                    continue
+                per_tile[ty * tiles_x + tx].append(g)
+    for t in per_tile:
+        per_tile[t] = per_tile[t][:max_per_tile]
+    return per_tile
+
+
+@pytest.mark.parametrize("seed", [0, 1, 7])
+def test_aligned_stream_matches_bruteforce(seed):
+    means, scales, quats, opac, shs = random_scene(80, seed, sh_degree=1)
+    cam = make_test_camera(width=64, height=48)
+    proj = project_gaussians(jnp.asarray(means), jnp.asarray(scales),
+                             jnp.asarray(quats), jnp.asarray(opac),
+                             jnp.asarray(shs), cam, 1, 1.0)
+    quantum, max_per_tile, d = 128, 64, 1 << 12
+    bins = binning.bin_gaussians_aligned(proj, cam.height, cam.width, d,
+                                         max_per_tile, quantum)
+    expect = _brute_force(proj, cam.height, cam.width, max_per_tile,
+                          quantum, binning.TILE)
+
+    gauss = np.asarray(bins.gauss_idx)
+    start = np.asarray(bins.tile_start)
+    count = np.asarray(bins.tile_count)
+    assert int(np.asarray(bins.aligned_entries)) <= d, "scene too big"
+    for t, exp in expect.items():
+        got = gauss[start[t]:start[t] + count[t]].tolist()
+        # Per-tile SETS must match; order must agree wherever depths are
+        # distinct (ties may legally reorder between sort implementations).
+        assert sorted(got) == sorted(exp), f"tile {t} membership"
+        dep = np.asarray(proj.depth)
+        if len(set(np.float32(dep[exp]).tolist())) == len(exp):
+            assert got == exp, f"tile {t} depth order"
+        # padding after the run is -1 up to the quantum boundary
+        pad_end = start[t] + -(-count[t] // quantum) * quantum
+        assert np.all(gauss[start[t] + count[t]:pad_end] == -1)
