@@ -60,7 +60,7 @@ def main():
     # budget would silently drop tail tiles (see
     # binning.AlignedBins.aligned_entries).
     cfg = RasterizeConfig(max_entries=1 << 21, max_per_tile=4096,
-                          chunk_e=256, quantum=128)
+                          chunk_e=512, quantum=128)
     bg = jnp.zeros(3, jnp.float32)
     params = (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
               jnp.asarray(opac), jnp.asarray(shs))

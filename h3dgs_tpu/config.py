@@ -80,12 +80,11 @@ class RuntimeConfig:
     max_entries: int = 1 << 22
     max_per_tile: int = 1024
     blend_chunk: int = 32
-    # Pallas blend entries per grid step. Measured on v5e: 256 beats 128
-    # and 512 at equal-validity budgets (grid-step overhead dominates
-    # below, aligned-padding blowup above). The aligned stream needs
-    # sum(ceil(count_t/chunk_e))*chunk_e slots; the adaptive budget
-    # tracks that need.
-    chunk_e: int = 256
+    # Pallas blend entries per grid step. With the blockwise segmented
+    # prefix (linear in chunk_e) 512 beats 256 by ~15% on v5e; 1024
+    # exceeds the ~16MB VMEM scoped limit in the backward kernel.
+    # Padding is governed by `quantum`, not chunk_e.
+    chunk_e: int = 512
     # Per-tile alignment quantum of the entry stream (<= chunk_e); the
     # kernel handles several quanta per grid step (segmented prefix).
     quantum: int = 128

@@ -125,7 +125,7 @@ class _Segments(NamedTuple):
     masks: list           # S [1,E] bool lane masks
     bid_lane: jax.Array   # [1,E] i32 group id per lane
     in_carry: jax.Array   # [1,E] bool (group 0 lanes)
-    u: jax.Array          # [E,E] triangular same-group prefix matrix
+    q: int                # quantum width (lanes per segment)
     all_same: jax.Array   # scalar bool: one tile spans the chunk
 
 
@@ -145,20 +145,38 @@ def _segments(owners, e_width: int, q: int, dtype):
         m = seg == i
         masks.append(m)
         bid_lane = jnp.where(m, bids[i], bid_lane)
-    row = jax.lax.broadcasted_iota(jnp.int32, (e_width, e_width), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (e_width, e_width), 1)
-    seg_r = row // q
-    seg_c = col // q
-    bid_r = jnp.zeros((e_width, e_width), jnp.int32)
-    bid_c = jnp.zeros((e_width, e_width), jnp.int32)
-    for i in range(s):
-        bid_r = jnp.where(seg_r == i, bids[i], bid_r)
-        bid_c = jnp.where(seg_c == i, bids[i], bid_c)
-    u = ((row <= col) & (bid_r == bid_c)).astype(dtype)
     all_same = bids[-1] == 0
     return _Segments(owners=owners, bids=bids, masks=masks,
-                     bid_lane=bid_lane, in_carry=bid_lane == 0, u=u,
+                     bid_lane=bid_lane, in_carry=bid_lane == 0, q=q,
                      all_same=all_same)
+
+
+def _seg_prefix(x, seg: _Segments):
+    """Segmented inclusive prefix sum along lanes.
+
+    Per quantum: one [P,Q]x[Q,Q] triangular MXU matmul; quanta of the
+    same owner group chain through a [P,1] carry (reset when the group
+    changes). MXU work is O(P*E*Q) — linear in the grid-step width E —
+    instead of the O(P*E^2) a single masked [E,E] matmul costs, which is
+    what made wide grid steps lose."""
+    q = seg.q
+    s = x.shape[1] // q
+    row = jax.lax.broadcasted_iota(jnp.int32, (q, q), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (q, q), 1)
+    u = (row <= col).astype(x.dtype)
+    pieces = []
+    carry = None
+    for i in range(s):
+        cum_i = jax.lax.dot_general(
+            x[:, i * q:(i + 1) * q], u, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)             # [P,Q]
+        if i > 0:
+            gate = (seg.bids[i] == seg.bids[i - 1]).astype(x.dtype)
+            cum_i = cum_i + carry * gate
+        pieces.append(cum_i)
+        carry = cum_i[:, -1:]
+    return pieces[0] if s == 1 else jnp.concatenate(pieces, axis=1)
 
 
 def _seg_recurrence(e, seg: _Segments, trans, term, tiles_x: int,
@@ -166,7 +184,7 @@ def _seg_recurrence(e, seg: _Segments, trans, term, tiles_x: int,
     """Segmented transmittance recurrence for one chunk.
 
     Groups of equal-owner quanta share one running transmittance; the
-    prefix matmul's mask (seg.u) stops log-accumulation at group
+    segmented prefix (_seg_prefix) stops log-accumulation at group
     boundaries, and the carried state only feeds group 0."""
     px = jnp.zeros((p, e.shape[1]), e.dtype)
     py = jnp.zeros((p, e.shape[1]), e.dtype)
@@ -177,9 +195,7 @@ def _seg_recurrence(e, seg: _Segments, trans, term, tiles_x: int,
     alpha, ok, om, dx, dy, alpha_raw = _alpha_terms(e, px, py)
     t_carry = trans[:, 0:1]                              # [P,1]
     term_carry = term[:, 0:1]
-    cum = jax.lax.dot_general(jnp.log(om), seg.u, (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST)
+    cum = _seg_prefix(jnp.log(om), seg)
     t_base = jnp.where(seg.in_carry, t_carry, 1.0)       # [P,E]
     term_base = jnp.where(seg.in_carry, term_carry, 0.0)
     t_incl = t_base * jnp.exp(cum)
@@ -334,10 +350,7 @@ def _bwd_kernel(owner_ref, entries_ref, grads_ref, dentries_ref,
 
         qv = contrib * ga
         pre_base = jnp.where(seg.in_carry, pre[0:1, :].T, 0.0)
-        prefix = pre_base + jax.lax.dot_general(
-            qv, seg.u, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)             # [P,E]
+        prefix = pre_base + _seg_prefix(qv, seg)             # [P,E]
         inv_om = 1.0 / jnp.maximum(1.0 - alpha, 1e-12)
         d_alpha = (t_excl * ga - (g_tot - prefix) * inv_om
                    + g_t * (-t_fin * inv_om))

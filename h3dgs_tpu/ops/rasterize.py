@@ -48,7 +48,7 @@ class RasterizeConfig(NamedTuple):
     # path elsewhere; "pallas" / "xla" force one. The Pallas path ignores
     # ``chunk``/``remat`` and uses chunk_e-entry grid steps.
     backend: str = "auto"
-    chunk_e: int = 256              # Pallas entries per grid step
+    chunk_e: int = 512              # Pallas entries per grid step
     quantum: int = 128              # per-tile alignment unit (<= chunk_e)
     # Mesh axis name to shard the per-tile blend over (pixels/tiles are the
     # natural SPMD axis of splatting). Requires an ambient mesh

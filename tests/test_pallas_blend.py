@@ -20,6 +20,8 @@ PL_CFG = XLA_CFG._replace(backend="pallas", chunk_e=128, quantum=128)
 # Segmented grid steps: two 128-entry quanta (possibly different tiles)
 # per 256-wide step — the production configuration.
 PL_CFG_SEG = XLA_CFG._replace(backend="pallas", chunk_e=256, quantum=128)
+# Wide grid step: four quanta per 512-wide step (blockwise prefix).
+PL_CFG_SEG4 = XLA_CFG._replace(backend="pallas", chunk_e=512, quantum=128)
 
 
 def _scene(n=80, seed=0):
@@ -31,7 +33,7 @@ def _scene(n=80, seed=0):
 
 
 @pytest.mark.parametrize("seed", [0, 3])
-@pytest.mark.parametrize("pl_cfg", [PL_CFG, PL_CFG_SEG])
+@pytest.mark.parametrize("pl_cfg", [PL_CFG, PL_CFG_SEG, PL_CFG_SEG4])
 def test_pallas_forward_matches_xla(seed, pl_cfg):
     params, cam, bg = _scene(seed=seed)
     out_x = R.rasterize(*params, cam, 1, bg, config=XLA_CFG)
@@ -47,7 +49,7 @@ def test_pallas_forward_matches_xla(seed, pl_cfg):
                                atol=2e-5, rtol=1e-4)
 
 
-@pytest.mark.parametrize("pl_cfg", [PL_CFG, PL_CFG_SEG])
+@pytest.mark.parametrize("pl_cfg", [PL_CFG, PL_CFG_SEG, PL_CFG_SEG4])
 def test_pallas_gradients_match_xla(pl_cfg):
     params, cam, bg = _scene(seed=1)
     target = jnp.full((3, 32, 48), 0.4)
