@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh
 from jax.sharding import PartitionSpec as P
 
@@ -61,7 +61,7 @@ def render_banded(means3d, scales, quats, opacities, shs, camera: Camera,
     spec_out = (P(None, axis, None), P(None, axis, None), P(axis, None),
                 P(), P(axis))
     banded = shard_map(body, mesh=mesh, in_specs=spec_in,
-                       out_specs=spec_out, check_rep=False)
+                       out_specs=spec_out, check_vma=False)
     img, invd, ft, radius, need = banded(
         jnp.asarray(means3d), jnp.asarray(scales), jnp.asarray(quats),
         jnp.asarray(opacities), jnp.asarray(shs), jnp.asarray(bg_color))

@@ -48,20 +48,54 @@ def render(viewpoint_camera: Camera, state: GaussianState, bg_color,
            use_trained_exp: bool = False,
            exposure: Optional[jnp.ndarray] = None,
            means2d_offset: Optional[jnp.ndarray] = None,
+           indices: Optional[jnp.ndarray] = None,
            config: RasterizeConfig = RasterizeConfig()):
-    """Single-chunk training render (gaussian_renderer/__init__.py:20-135)."""
+    """Single-chunk training render (gaussian_renderer/__init__.py:20-135).
+
+    ``indices``: optional int32 [M] subset of rows to splat (the
+    reference's index-subset path, gaussian_renderer/__init__.py:97-103).
+    TPU idiom: M is a static bucket — pad with -1; padded rows get
+    opacity 0 and are culled losslessly. ``visibility_filter`` is
+    scattered back to full [N] (reference :120-127); gradients (incl.
+    the ``means2d_offset`` densification signal) flow to the selected
+    rows through the gather.
+    """
     deg = state.max_sh_degree if sh_degree is None else sh_degree
     if means2d_offset is None:
         means2d_offset = jnp.zeros((state.capacity, 2), jnp.float32)
+    xyz = state.xyz
+    scaling = state.get_scaling()
+    rotation = state.get_rotation()
+    opacity = state.get_opacity()[:, 0]
+    features = state.get_features(deg)
+    m2d = means2d_offset
+    if indices is not None:
+        indices = jnp.asarray(indices, jnp.int32)
+        safe = jnp.maximum(indices, 0)
+        sel = indices >= 0
+        xyz = xyz[safe]
+        scaling = scaling[safe]
+        rotation = rotation[safe]
+        opacity = jnp.where(sel, opacity[safe], 0.0)
+        features = features[safe]
+        m2d = m2d[safe]
     out = rasterize(
-        state.xyz, state.get_scaling(), state.get_rotation(),
-        state.get_opacity()[:, 0], state.get_features(deg),
+        xyz, scaling, rotation, opacity, features,
         viewpoint_camera, deg, jnp.asarray(bg_color),
-        scale_modifier=scaling_modifier, means2d_offset=means2d_offset,
+        scale_modifier=scaling_modifier, means2d_offset=m2d,
         config=config)
     if use_trained_exp and exposure is not None:
         out["render"] = jnp.clip(
             apply_exposure(out["render"], exposure), 0.0, 1.0)
+    if indices is not None:
+        n = state.capacity
+        vis = jnp.zeros((n,), bool).at[jnp.where(indices >= 0, indices, n)
+                                       ].set(out["visibility_filter"],
+                                             mode="drop")
+        radii = jnp.zeros((n,), out["radii"].dtype).at[
+            jnp.where(indices >= 0, indices, n)].set(out["radii"],
+                                                     mode="drop")
+        out = dict(out, visibility_filter=vis, radii=radii)
     return _as_reference_dict(out, means2d_offset)
 
 

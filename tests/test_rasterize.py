@@ -4,6 +4,8 @@ The oracle (ops/reference.py) implements exact per-pixel front-to-back
 blending with CUDA-rasterizer semantics; the production tiled path must
 match it in both outputs and gradients (SURVEY.md §4 test pyramid, level 2).
 """
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -179,3 +181,44 @@ def test_render_facade_matches_reference_shape():
     coarse = facade.render_coarse(cam, st, jnp.zeros(3), config=cfg)
     np.testing.assert_allclose(np.asarray(coarse["render"]),
                                np.asarray(out["render"]), atol=1e-6)
+
+
+def test_render_facade_index_subset():
+    """indices= renders only the selected rows and scatters visibility
+    back to full size (reference gaussian_renderer/__init__.py:97-127)."""
+    import jax.numpy as jnp
+
+    from h3dgs_tpu import render as facade
+    from h3dgs_tpu.model import state as S
+
+    n = 30
+    means, scales, quats, opac, shs = random_scene(n, seed=3, sh_degree=1)
+    st = S.from_arrays(
+        xyz=means, features_dc=shs[:, :1], features_rest=shs[:, 1:],
+        opacity=np.full((n, 1), 1.0, np.float32),
+        scaling=np.log(scales), rotation=quats,
+        capacity=n, max_sh_degree=1)
+    cam = make_test_camera(width=48, height=32)
+    cfg = R.RasterizeConfig(max_entries=1 << 12, max_per_tile=128)
+
+    keep = np.arange(0, n, 2, dtype=np.int32)
+    # Padded bucket (TPU static shapes): -1 rows must be inert.
+    idx = np.concatenate([keep, np.full(5, -1, np.int32)])
+    out_sub = facade.render(cam, st, jnp.zeros(3), config=cfg, indices=idx)
+
+    # Oracle: zero the opacity of non-selected rows and render full.
+    opac_mask = np.zeros((n, 1), np.float32)
+    opac_mask[keep] = 1.0
+    st_masked = dataclasses.replace(st, opacity=st.opacity + np.where(
+        opac_mask > 0, 0.0, -1e9).astype(np.float32))
+    out_masked = facade.render(cam, st_masked, jnp.zeros(3), config=cfg)
+    np.testing.assert_allclose(np.asarray(out_sub["render"]),
+                               np.asarray(out_masked["render"]), atol=1e-5)
+
+    vis = np.asarray(out_sub["visibility_filter"])
+    assert vis.shape == (n,)
+    assert not vis[1::2].any()          # non-selected rows never visible
+    assert vis[keep].any()
+    radii = np.asarray(out_sub["radii"])
+    assert radii.shape == (n,)
+    assert (radii[1::2] == 0).all()
