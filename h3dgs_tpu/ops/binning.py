@@ -48,6 +48,50 @@ class BinnedGaussians(NamedTuple):
     total_entries: jnp.ndarray  # [] int32 (pre-clamp; > D means overflow)
 
 
+def _tight_rects(proj: ProjectedGaussians, tiles_y: int, tiles_x: int,
+                 tile: int):
+    """Tile rectangle per splat from the tight per-axis alpha bbox.
+
+    Lossless refinement of the CUDA getRect bounding square: the blend
+    skips alpha < 1/255, and {alpha >= 1/255} = {power >= -L} with
+    L = ln(255*opac), whose axis-aligned bbox half-extents are
+    sqrt(2*L*cov_xx) / sqrt(2*L*cov_yy) (cov2d = conic^-1, dilation
+    included). Strictly inside the r = 3*sqrt(lambda_max) square for
+    anisotropic or low-opacity splats, so candidate duplicate counts —
+    which every budget-proportional XLA op downstream scales with —
+    shrink at zero quality cost.
+
+    Returns (rect_min_x, rect_min_y, span_x, span_y, counts).
+    """
+    x = proj.means2d[:, 0]
+    y = proj.means2d[:, 1]
+    r = proj.radius.astype(x.dtype)
+    ca = proj.conic[:, 0]
+    cb = proj.conic[:, 1]
+    cc = proj.conic[:, 2]
+    det_c = jnp.maximum(ca * cc - cb * cb, 1e-24)
+    big_l = jnp.log(jnp.maximum(255.0 * proj.opacity, 1.0 + 1e-6))
+    # cov_xx = cc/det_c, cov_yy = ca/det_c; 1e-3 px guards sqrt rounding.
+    ext_x = jnp.minimum(jnp.sqrt(2.0 * big_l * cc / det_c) + 1e-3, r)
+    ext_y = jnp.minimum(jnp.sqrt(2.0 * big_l * ca / det_c) + 1e-3, r)
+    # Covered pixel columns are [x-ext, x+ext]; the max covered column
+    # floor(x+ext) sits in tile floor((x+ext)/tile), so the exclusive tile
+    # bound is floor(..)+1. (The CUDA "+tile-1" idiom is a ceil only for
+    # INTEGER radii; with fractional extents it under-covers the last tile.)
+    rect_min_x = jnp.clip(jnp.floor((x - ext_x) / tile).astype(jnp.int32),
+                          0, tiles_x)
+    rect_min_y = jnp.clip(jnp.floor((y - ext_y) / tile).astype(jnp.int32),
+                          0, tiles_y)
+    rect_max_x = jnp.clip(jnp.floor((x + ext_x) / tile).astype(jnp.int32) + 1,
+                          0, tiles_x)
+    rect_max_y = jnp.clip(jnp.floor((y + ext_y) / tile).astype(jnp.int32) + 1,
+                          0, tiles_y)
+    span_x = jnp.maximum(rect_max_x - rect_min_x, 0)
+    span_y = jnp.maximum(rect_max_y - rect_min_y, 0)
+    counts = jnp.where(proj.valid & (proj.radius > 0), span_x * span_y, 0)
+    return rect_min_x, rect_min_y, span_x, span_y, counts
+
+
 def bin_gaussians(proj: ProjectedGaussians, height: int, width: int,
                   max_entries: int, tile: int = TILE) -> BinnedGaussians:
     tiles_y, tiles_x = num_tiles(height, width, tile)
@@ -55,18 +99,8 @@ def bin_gaussians(proj: ProjectedGaussians, height: int, width: int,
     n = proj.means2d.shape[0]
     d = max_entries
 
-    x = proj.means2d[:, 0]
-    y = proj.means2d[:, 1]
-    r = proj.radius.astype(x.dtype)
-
-    # getRect: tile rectangle covered by the splat's bounding square.
-    rect_min_x = jnp.clip(((x - r) / tile).astype(jnp.int32), 0, tiles_x)
-    rect_min_y = jnp.clip(((y - r) / tile).astype(jnp.int32), 0, tiles_y)
-    rect_max_x = jnp.clip(((x + r + tile - 1) / tile).astype(jnp.int32), 0, tiles_x)
-    rect_max_y = jnp.clip(((y + r + tile - 1) / tile).astype(jnp.int32), 0, tiles_y)
-    span_x = jnp.maximum(rect_max_x - rect_min_x, 0)
-    span_y = jnp.maximum(rect_max_y - rect_min_y, 0)
-    counts = jnp.where(proj.valid & (proj.radius > 0), span_x * span_y, 0)
+    rect_min_x, rect_min_y, span_x, span_y, counts = _tight_rects(
+        proj, tiles_y, tiles_x, tile)
 
     offsets = jnp.cumsum(counts) - counts  # exclusive
     total = offsets[-1] + counts[-1] if n > 0 else jnp.int32(0)
@@ -204,18 +238,8 @@ def bin_gaussians_aligned(proj: ProjectedGaussians, height: int, width: int,
     n = proj.means2d.shape[0]
     d = max_entries
 
-    x = proj.means2d[:, 0]
-    y = proj.means2d[:, 1]
-    r = proj.radius.astype(x.dtype)
-    rect_min_x = jnp.clip(((x - r) / tile).astype(jnp.int32), 0, tiles_x)
-    rect_min_y = jnp.clip(((y - r) / tile).astype(jnp.int32), 0, tiles_y)
-    rect_max_x = jnp.clip(((x + r + tile - 1) / tile).astype(jnp.int32),
-                          0, tiles_x)
-    rect_max_y = jnp.clip(((y + r + tile - 1) / tile).astype(jnp.int32),
-                          0, tiles_y)
-    span_x = jnp.maximum(rect_max_x - rect_min_x, 0)
-    span_y = jnp.maximum(rect_max_y - rect_min_y, 0)
-    counts = jnp.where(proj.valid & (proj.radius > 0), span_x * span_y, 0)
+    rect_min_x, rect_min_y, span_x, span_y, counts = _tight_rects(
+        proj, tiles_y, tiles_x, tile)
 
     offsets = jnp.cumsum(counts) - counts
     total = (offsets[-1] + counts[-1] if n > 0 else jnp.int32(0))

@@ -32,16 +32,35 @@ def _brute_force(proj, height, width, max_per_tile, quantum, tile):
                   + conic[:, 1] ** 2), 1e-12)
     t_cmp = 2.0 * np.log(np.maximum(255.0 * opac, 1e-12)) / lam_min
 
+    # Tight per-axis rect, replicated in f32 to match production exactly.
+    ca = np.asarray(proj.conic[:, 0], np.float32)
+    cb = np.asarray(proj.conic[:, 1], np.float32)
+    cc = np.asarray(proj.conic[:, 2], np.float32)
+    det_c = np.maximum(ca * cc - cb * cb, np.float32(1e-24))
+    big_l = np.log(np.maximum(np.float32(255.0)
+                              * np.asarray(proj.opacity, np.float32),
+                              np.float32(1.0 + 1e-6)))
+    ext_x = np.minimum(np.sqrt(2.0 * big_l * cc / det_c).astype(np.float32)
+                       + np.float32(1e-3), r.astype(np.float32))
+    ext_y = np.minimum(np.sqrt(2.0 * big_l * ca / det_c).astype(np.float32)
+                       + np.float32(1e-3), r.astype(np.float32))
+    xf = np.asarray(proj.means2d[:, 0], np.float32)
+    yf = np.asarray(proj.means2d[:, 1], np.float32)
+
     per_tile = {t: [] for t in range(tiles_y * tiles_x)}
     order = np.argsort(
         np.maximum(depth, 0.0).view(np.int32), kind="stable")
     for g in order:
         if not (valid[g] and r[g] > 0):
             continue
-        x0t = int(np.clip((x[g] - r[g]) / tile, 0, tiles_x))
-        y0t = int(np.clip((y[g] - r[g]) / tile, 0, tiles_y))
-        x1t = int(np.clip((x[g] + r[g] + tile - 1) // tile, 0, tiles_x))
-        y1t = int(np.clip((y[g] + r[g] + tile - 1) // tile, 0, tiles_y))
+        x0t = int(np.clip(np.floor(np.float32(xf[g] - ext_x[g]) / tile),
+                          0, tiles_x))
+        y0t = int(np.clip(np.floor(np.float32(yf[g] - ext_y[g]) / tile),
+                          0, tiles_y))
+        x1t = int(np.clip(np.floor(np.float32(xf[g] + ext_x[g]) / tile) + 1,
+                          0, tiles_x))
+        y1t = int(np.clip(np.floor(np.float32(yf[g] + ext_y[g]) / tile) + 1,
+                          0, tiles_y))
         for ty in range(y0t, y1t):
             for tx in range(x0t, x1t):
                 bx0, by0 = tx * tile, ty * tile

@@ -123,18 +123,34 @@ def test_binning_counts_are_exact():
     binned = bin_gaussians(proj, cam.height, cam.width, max_entries=1 << 16)
     proj_np = jax.tree.map(np.asarray, proj)
 
-    # Brute-force expected pairs.
+    # Brute-force expected pairs (tight per-axis alpha-bbox rect, f32
+    # arithmetic matching binning._tight_rects).
     tiles_x = -(-cam.width // 16)
     tiles_y = -(-cam.height // 16)
+    conic = proj_np.conic.astype(np.float32)
+    det_c = np.maximum(conic[:, 0] * conic[:, 2] - conic[:, 1] ** 2,
+                       np.float32(1e-24))
+    big_l = np.log(np.maximum(np.float32(255.0)
+                              * proj_np.opacity.astype(np.float32),
+                              np.float32(1.0 + 1e-6)))
+    r32 = proj_np.radius.astype(np.float32)
+    ext_x = np.minimum(
+        np.sqrt(2.0 * big_l * conic[:, 2] / det_c).astype(np.float32)
+        + np.float32(1e-3), r32)
+    ext_y = np.minimum(
+        np.sqrt(2.0 * big_l * conic[:, 0] / det_c).astype(np.float32)
+        + np.float32(1e-3), r32)
     expected = set()
     for i in range(50):
         if not proj_np.valid[i] or proj_np.radius[i] <= 0:
             continue
-        x, y, r = proj_np.means2d[i][0], proj_np.means2d[i][1], proj_np.radius[i]
-        x0 = min(max(int((x - r) / 16), 0), tiles_x)
-        y0 = min(max(int((y - r) / 16), 0), tiles_y)
-        x1 = min(max(int((x + r + 15) / 16), 0), tiles_x)
-        y1 = min(max(int((y + r + 15) / 16), 0), tiles_y)
+        x, y = proj_np.means2d[i][0], proj_np.means2d[i][1]
+        x0 = min(max(int(np.floor(np.float32(x - ext_x[i]) / 16)), 0), tiles_x)
+        y0 = min(max(int(np.floor(np.float32(y - ext_y[i]) / 16)), 0), tiles_y)
+        x1 = min(max(int(np.floor(np.float32(x + ext_x[i]) / 16)) + 1, 0),
+                 tiles_x)
+        y1 = min(max(int(np.floor(np.float32(y + ext_y[i]) / 16)) + 1, 0),
+                 tiles_y)
         for tyy in range(y0, y1):
             for txx in range(x0, x1):
                 expected.add((i, tyy * tiles_x + txx))
