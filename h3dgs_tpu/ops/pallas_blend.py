@@ -60,13 +60,21 @@ ALPHA_MAX = 0.99
 # Packed entry rows (sublane index in the [16, D] stream). The same row
 # indices are reused for the per-entry gradient stream emitted by the
 # backward kernel (mean_x/mean_y/conic/rgb/opacity/invdepth grads).
+# R_GI carries the entry's gauss_idx as bitcast int32 so the backward's
+# truncated-stream gather moves entries + scatter indices in ONE row
+# gather instead of an extra (slow) scalar gather.
 R_MX, R_MY, R_CA, R_CB, R_CC, R_R, R_G, R_B, R_OP, R_ID = range(10)
+R_GI = 10
 N_ROWS = 16  # padded to a full sublane tile
 
 # Output rows per chunk/tile: rgb, invdepth, transmittance (pre-background).
+# Row O_DEAD (forward only): 1.0 where the pixel is terminated at the END
+# of the quantum (raw t_incl < eps or already-terminated carry) — the
+# signal the backward uses to drop provably-zero-gradient quanta.
 # In the backward cotangent stream the spare rows carry fused suffix
 # constants: G_TOT = sum_ch g_ch*total_ch, G_TFIN = final transmittance.
 O_R, O_G, O_B, O_D, O_T = range(5)
+O_DEAD = 5
 G_TOT, G_TFIN = 5, 6
 N_OUT = 8
 
@@ -80,10 +88,22 @@ class PallasBlendConfig(NamedTuple):
     unit of the entry stream: each grid step covers S = E/Q quanta whose
     tiles may differ, handled by segmented (owner-masked) prefix scans.
     Q < E cuts the aligned stream's padding (mean per-tile counts are a
-    few hundred) without giving up the wide grid step."""
+    few hundred) without giving up the wide grid step.
+
+    ``bwd_entries`` > 0 enables backward-side termination truncation: the
+    forward records which quanta end with every pixel of their tile
+    terminated, and the backward compacts the surviving quanta (plus the
+    stream's owner=-1 padding removed) into a ``bwd_entries``-slot stream
+    before running the gradient kernel + scatter. Dead quanta provably
+    produce zero gradients and influence nothing downstream (termination
+    is monotone per tile, so dropped quanta are always trailing and the
+    compacted stream stays quantum-aligned). If survivors overflow
+    ``bwd_entries`` the backward falls back to the full stream in-jit
+    (lax.cond), so the optimization is lossless."""
     chunk_e: int = 256     # entries per grid step (lane dim)
     quantum: int = 128     # per-tile alignment unit
     interpret: bool = False
+    bwd_entries: int = 0   # 0 = disabled; else multiple of chunk_e
 
 
 def _pixel_coords(owner, tiles_x: int, tile: int, p: int, dtype):
@@ -272,6 +292,16 @@ def _fwd_kernel(owner_ref, entries_ref, out_ref, trans, term,
                 precision=jax.lax.Precision.HIGHEST)
             t_after = _seg_trans_after(seg, i, q, live, t_incl, t_carry)
             out_ref[i, O_T, :] = t_after[:, 0]
+            # Dead-at-quantum-end flag: raw t_incl at the quantum's last
+            # lane mirrors _seg_new_term's cross-chunk termination test,
+            # so "dead here" == "no live lane of this tile ever again".
+            term_base_i = jnp.where(seg.bids[i] == 0, term_carry,
+                                    jnp.zeros_like(term_carry))
+            t_end_i = t_incl[:, (i + 1) * q - 1:(i + 1) * q]
+            dead_i = jnp.maximum(
+                term_base_i,
+                (t_end_i < TRANSMITTANCE_EPS).astype(jnp.float32))
+            out_ref[i, O_DEAD, :] = dead_i[:, 0]
         trans[:, 0:1] = _seg_trans_after(seg, s - 1, q, live, t_incl,
                                          t_carry)
         term[:, 0:1] = _seg_new_term(seg, term_carry, t_incl)
@@ -280,6 +310,9 @@ def _fwd_kernel(owner_ref, entries_ref, out_ref, trans, term,
     def _():
         for i in range(s):
             out_ref[i, O_T, :] = trans[:, 0]
+            # Skipped chunks (saturated single-tile, or unused): every
+            # pixel's termination state is the carried flag.
+            out_ref[i, O_DEAD, :] = term[:, 0]
 
 
 def _bwd_kernel(owner_ref, entries_ref, grads_ref, dentries_ref,
@@ -454,12 +487,14 @@ def pallas_blend_bwd(packed, owner, grads_quanta, *,
     )(owner, packed, grads_quanta)
 
 
-def pack_entries(means2d, conic, rgb, opacity, inv_depth,
-                 gauss_idx) -> jax.Array:
-    """Gather per-entry attributes into the packed [16, D] stream.
+def pack_rows(means2d, conic, rgb, opacity, inv_depth,
+              gauss_idx) -> jax.Array:
+    """Gather per-entry attributes into packed [D, 16] rows.
 
-    One [N,16] attribute matrix -> one contiguous row gather -> transpose:
-    the gather moves 64-byte rows (fast) instead of 10 scalar gathers.
+    One [N,16] attribute matrix -> one contiguous row gather: the gather
+    moves 64-byte rows (fast) instead of 10 scalar gathers. Row R_GI is
+    the entry's gauss_idx bitcast to f32 (set post-gather so padding
+    entries keep -1, not a zeroed bit pattern).
     """
     n = means2d.shape[0]
     attr = jnp.zeros((n, N_ROWS), jnp.float32)
@@ -472,7 +507,15 @@ def pack_entries(means2d, conic, rgb, opacity, inv_depth,
     gi = jnp.maximum(gauss_idx, 0)
     rows = attr[gi]                                        # [D, 16]
     rows = jnp.where((gauss_idx >= 0)[:, None], rows, 0.0)
-    return rows.T
+    rows = rows.at[:, R_GI].set(jax.lax.bitcast_convert_type(
+        gauss_idx.astype(jnp.int32), jnp.float32))
+    return rows
+
+
+def pack_entries(means2d, conic, rgb, opacity, inv_depth,
+                 gauss_idx) -> jax.Array:
+    """Packed [16, D] stream (pack_rows transposed; kernel layout)."""
+    return pack_rows(means2d, conic, rgb, opacity, inv_depth, gauss_idx).T
 
 
 def scatter_entry_grads(dentries, gauss_idx, n: int):
@@ -526,8 +569,8 @@ def _combine_chunks(chunk_out, owner, last_chunk, n_tiles):
 
 def _blend_fwd(means2d, conic, rgb, opacity, inv_depth, owner, gauss_idx,
                last_chunk, n_tiles, tiles_x, tile, cfg):
-    packed = pack_entries(means2d, conic, rgb, opacity, inv_depth, gauss_idx)
-    chunk_out = pallas_blend_fwd(packed, owner, tiles_x=tiles_x, tile=tile,
+    rows = pack_rows(means2d, conic, rgb, opacity, inv_depth, gauss_idx)
+    chunk_out = pallas_blend_fwd(rows.T, owner, tiles_x=tiles_x, tile=tile,
                                  cfg=cfg)
     # Defensive (axon backend): keep XLA from fusing the segment-sum into
     # the pallas output — one observed miscompile produced black tile runs
@@ -535,22 +578,79 @@ def _blend_fwd(means2d, conic, rgb, opacity, inv_depth, owner, gauss_idx,
     # un-jitted and in interpret mode).
     chunk_out = jax.lax.optimization_barrier(chunk_out)
     out = _combine_chunks(chunk_out, owner, last_chunk, n_tiles)
-    return out, (packed, owner, gauss_idx, out, means2d.shape[0])
+    if cfg.bwd_entries:
+        # All-pixel deadness per quantum; residual keeps the [D,16] rows
+        # so the compaction gather moves contiguous 64-byte rows.
+        q_dead = jnp.min(chunk_out[:, O_DEAD, :], axis=1)
+        stream = rows
+    else:
+        q_dead = None
+        stream = rows.T      # kernel layout, reused directly by the bwd
+    return out, (stream, owner, gauss_idx, out, q_dead, means2d.shape[0])
 
 
 def _blend_bwd(n_tiles, tiles_x, tile, cfg, res, g):
-    packed, owner, gauss_idx, out, n = res
+    stream, owner, gauss_idx, out, q_dead, n = res
     g = jnp.asarray(g, jnp.float32)
-    safe_owner = jnp.maximum(owner, 0)
     # Fused suffix constants ride the spare cotangent rows, so the kernel
     # needs a single per-chunk gather.
     g_tot = jnp.sum(g[:, O_R:O_D + 1, :] * out[:, O_R:O_D + 1, :], axis=1)
     g = g.at[:, G_TOT, :].set(g_tot).at[:, G_TFIN, :].set(out[:, O_T, :])
-    grads_chunks = g[safe_owner]                             # [C, 8, P]
-    dentries = pallas_blend_bwd(packed, owner, grads_chunks,
-                                tiles_x=tiles_x, tile=tile, cfg=cfg)
-    d_means2d, d_conic, d_rgb, d_opac, d_invd = scatter_entry_grads(
-        dentries, gauss_idx, n)
+
+    def run(packed, own, gidx):
+        grads_chunks = g[jnp.maximum(own, 0)]                # [C, 8, P]
+        dentries = pallas_blend_bwd(packed, own, grads_chunks,
+                                    tiles_x=tiles_x, tile=tile, cfg=cfg)
+        return scatter_entry_grads(dentries, gidx, n)
+
+    if not cfg.bwd_entries:
+        grads = run(stream, owner, gauss_idx)
+    else:
+        rows = stream                                        # [D, 16]
+        qw = cfg.quantum
+        qn = owner.shape[0]
+        d_t = cfg.bwd_entries
+        n_q_t = d_t // qw
+        # A quantum is droppable iff the previous quantum of the SAME tile
+        # ended with every pixel terminated (then all its lanes have
+        # live=False => zero dentries and no effect on carried state), or
+        # it is stream padding (owner -1). Termination is monotone per
+        # tile, so survivors stay consecutive and quantum-aligned.
+        same_prev = jnp.concatenate([jnp.zeros((1,), bool),
+                                     owner[1:] == owner[:-1]])
+        dead_prev = jnp.concatenate(
+            [jnp.zeros((1,), q_dead.dtype), q_dead[:-1]]) > 0.5
+        keep = (owner >= 0) & ~(same_prev & dead_prev)
+        pos = jnp.cumsum(keep.astype(jnp.int32)) - 1         # dst quantum
+        n_keep = pos[-1] + 1
+
+        def trunc_path(operands):
+            rows, owner, gauss_idx = operands
+            dst = jnp.where(keep & (pos < n_q_t), pos, n_q_t)
+            src_q = jnp.zeros((n_q_t + 1,), jnp.int32).at[dst].set(
+                jnp.arange(qn, dtype=jnp.int32), mode="drop")[:n_q_t]
+            owner_t = jnp.where(jnp.arange(n_q_t) < n_keep,
+                                owner[src_q], -1)
+            idx_e = (src_q[:, None] * qw
+                     + jnp.arange(qw, dtype=jnp.int32)[None, :]).reshape(-1)
+            rows_t = rows[idx_e]                             # [d_t, 16]
+            # Tail slots (dst >= n_keep) gathered quantum 0's REAL entries
+            # (src_q defaults to 0); their kernel output is garbage gated
+            # only by owner=-1, so their scatter index must be -1.
+            gauss_t = jnp.where(
+                jnp.arange(d_t) < n_keep * qw,
+                jax.lax.bitcast_convert_type(rows_t[:, R_GI], jnp.int32),
+                -1)
+            return run(rows_t.T, owner_t, gauss_t)
+
+        def full_path(operands):
+            rows, owner, gauss_idx = operands
+            return run(rows.T, owner, gauss_idx)
+
+        grads = jax.lax.cond(n_keep <= n_q_t, trunc_path, full_path,
+                             (rows, owner, gauss_idx))
+
+    d_means2d, d_conic, d_rgb, d_opac, d_invd = grads
     f0 = np.zeros(owner.shape, jax.dtypes.float0)
     f0_g = np.zeros(gauss_idx.shape, jax.dtypes.float0)
     f0_l = np.zeros((n_tiles,), jax.dtypes.float0)

@@ -50,6 +50,12 @@ class RasterizeConfig(NamedTuple):
     backend: str = "auto"
     chunk_e: int = 512              # Pallas entries per grid step
     quantum: int = 128              # per-tile alignment unit (<= chunk_e)
+    # Backward termination-truncation budget (Pallas path): the backward
+    # compacts away quanta whose tile fully terminated (provably zero
+    # gradient) and runs on a stream of this many slots; overflow falls
+    # back in-jit to the full stream, so it is lossless. None = auto
+    # (max_entries // 2); 0 = disabled.
+    bwd_entries: Optional[int] = None
     # Mesh axis name to shard the per-tile blend over (pixels/tiles are the
     # natural SPMD axis of splatting). Requires an ambient mesh
     # (jax.set_mesh); Gaussian/entry arrays stay replicated and XLA inserts
@@ -230,9 +236,18 @@ def blend_tiles_pallas(proj: ProjectedGaussians, height: int, width: int,
             "trailing quanta unprocessed but still consumed downstream")
     bins = bin_gaussians_aligned(proj, height, width, config.max_entries,
                                  config.max_per_tile, quantum, tile)
+    bwd_entries = config.bwd_entries
+    if bwd_entries is None:
+        bwd_entries = max(config.max_entries // 2, config.chunk_e)
+        bwd_entries -= bwd_entries % config.chunk_e
+    if bwd_entries % config.chunk_e:
+        raise ValueError(
+            f"bwd_entries ({bwd_entries}) must be a multiple of chunk_e "
+            f"({config.chunk_e}); the backward grid would leave trailing "
+            "quanta unprocessed")
     pcfg = PallasBlendConfig(
         chunk_e=config.chunk_e, quantum=quantum,
-        interpret=not _on_tpu())
+        interpret=not _on_tpu(), bwd_entries=bwd_entries)
     inv_depth = 1.0 / jnp.maximum(proj.depth, 1e-6)
     n_q_per_tile = -(-bins.tile_count // quantum)
     # Tiles whose aligned run overflows the buffer lost their quanta —

@@ -121,6 +121,75 @@ def test_aligned_overflow_accounting(budget):
     assert is_bg.any()
 
 
+def _saturated_scene(n=300, seed=7):
+    """Heavily overlapping near-opaque TILE-COVERING splats. A quantum is
+    droppable only when EVERY pixel of its tile has terminated, so the
+    splats must span whole tiles (the dense-real-scene regime the
+    truncation targets); small splats leave corner pixels live forever."""
+    means, scales, quats, opac, shs = random_scene(n, seed, sh_degree=1)
+    means = np.asarray(means) * np.array([0.3, 0.3, 1.0])  # pile up
+    scales = np.asarray(scales) * 8.0                      # radius >> tile
+    opac = np.full_like(np.asarray(opac), 6.0)             # sigmoid -> ~1
+    cam = make_test_camera(width=48, height=32)
+    bg = jnp.asarray([0.1, 0.2, 0.3], jnp.float32)
+    return (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+            jnp.asarray(opac), jnp.asarray(shs)), cam, bg
+
+
+@pytest.mark.parametrize("bwd_entries", [None, 1 << 11, 512])
+def test_bwd_truncation_matches_full(bwd_entries):
+    """Termination-truncated backward == full backward, bit-for-bit.
+
+    Dropped quanta have live=False on every lane (zero dentries, no carry
+    influence), so compaction must not change any gradient. The 512-slot
+    case is far below the survivor count and must fall back in-jit to the
+    full stream (lax.cond) — also exactly equal."""
+    params, cam, bg = _saturated_scene()
+    target = jnp.full((3, 32, 48), 0.4)
+
+    def grads(cfg):
+        def loss(p):
+            out = R.rasterize(*p, cam, 1, bg, config=cfg)
+            return (photometric_loss(out["render"], target)
+                    + 0.1 * jnp.mean(out["final_transmittance"]))
+        return jax.grad(loss)(params)
+
+    base = PL_CFG_SEG4._replace(max_entries=1 << 12)
+    g_full = grads(base._replace(bwd_entries=0))
+    g_trunc = grads(base._replace(bwd_entries=bwd_entries))
+    for a, b in zip(jax.tree.leaves(g_trunc), jax.tree.leaves(g_full)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bwd_truncation_drops_quanta():
+    """The saturated scene must actually produce droppable quanta (guards
+    the test above against vacuous truncation)."""
+    from h3dgs_tpu.ops.binning import bin_gaussians_aligned
+    from h3dgs_tpu.ops.pallas_blend import (O_DEAD, PallasBlendConfig,
+                                            pack_entries, pallas_blend_fwd)
+    from h3dgs_tpu.ops.projection import project_gaussians
+
+    params, cam, bg = _saturated_scene()
+    proj = project_gaussians(*params, cam, 1, 1.0)
+    bins = bin_gaussians_aligned(proj, cam.height, cam.width, 1 << 12,
+                                 256, 128)
+    packed = pack_entries(proj.means2d, proj.conic, proj.rgb, proj.opacity,
+                          1.0 / jnp.maximum(proj.depth, 1e-6),
+                          bins.gauss_idx)
+    tiles_x = -(-cam.width // 16)
+    chunk_out = pallas_blend_fwd(
+        packed, bins.owner, tiles_x=tiles_x, tile=16,
+        cfg=PallasBlendConfig(chunk_e=512, quantum=128, interpret=True))
+    q_dead = np.asarray(jnp.min(chunk_out[:, O_DEAD, :], axis=1))
+    owner = np.asarray(bins.owner)
+    same_prev = np.concatenate([[False], owner[1:] == owner[:-1]])
+    dead_prev = np.concatenate([[0.0], q_dead[:-1]]) > 0.5
+    keep = (owner >= 0) & ~(same_prev & dead_prev)
+    n_valid = int((owner >= 0).sum())
+    assert int(keep.sum()) < n_valid, (
+        f"no terminated quanta dropped ({keep.sum()} of {n_valid})")
+
+
 def test_invalid_shape_configs_rejected():
     params, cam, bg = _scene(n=20, seed=5)
     with pytest.raises(ValueError, match="multiple of"):
