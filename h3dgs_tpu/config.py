@@ -98,6 +98,12 @@ class RuntimeConfig:
     # Sharding: number of devices for pixel-band sharding (0 = all local).
     n_devices: int = 1
     mesh_axis: str = "tile"
+    # In-step view data parallelism: shard a batch of views over this many
+    # devices (parallel/step.make_dp_train_step); 1 = single-device loop.
+    data_devices: int = 1
+    # Views per optimizer step in the data-parallel path (must be a
+    # multiple of data_devices); 0 = one view per device.
+    views_per_step: int = 0
 
 
 @dataclasses.dataclass

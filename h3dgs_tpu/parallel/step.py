@@ -97,7 +97,8 @@ def make_parallel_train_step(opt_cfg: OptimizationConfig,
                                   depth_w * d_l1, 0.0)
             else:
                 depth = jnp.zeros(())
-            aux = (out["radii"], out["visibility_filter"], photo, depth)
+            aux = (out["radii"], out["visibility_filter"], photo, depth,
+                   out["n_duplicates"])
             return photo + depth, aux
 
         def batch_loss(params, exposure, offset):
@@ -108,9 +109,10 @@ def make_parallel_train_step(opt_cfg: OptimizationConfig,
 
         grad_fn = jax.grad(batch_loss, argnums=(0, 1, 2), has_aux=True)
         (g_params, g_exp, g_offset), aux = grad_fn(params, exposure, offset)
-        radii_b, visible_b, photo_b, depth_b = aux
+        radii_b, visible_b, photo_b, depth_b, dup_b = aux
         radii = jnp.max(radii_b, axis=0)
         visible = jnp.any(visible_b, axis=0)
+        n_dup = jnp.max(dup_b)
 
         if skybox_locked:
             locked = state.locked_rows_mask()
@@ -150,7 +152,7 @@ def make_parallel_train_step(opt_cfg: OptimizationConfig,
             exposure_opt=exposure_opt, photo_loss=jnp.mean(photo_b),
             depth_loss=jnp.mean(depth_b),
             n_visible=jnp.sum(visible.astype(jnp.int32)),
-            n_duplicates=jnp.zeros((), jnp.int32))
+            n_duplicates=n_dup)
 
     return step
 
@@ -223,7 +225,8 @@ def make_dp_train_step(opt_cfg: OptimizationConfig,
                                   depth_w * d_l1, 0.0)
             else:
                 depth = jnp.zeros(())
-            aux = (out["radii"], out["visibility_filter"], photo, depth)
+            aux = (out["radii"], out["visibility_filter"], photo, depth,
+                   out["n_duplicates"])
             return photo + depth, aux
 
         n_total = batch.gt_image.shape[0]
@@ -237,11 +240,12 @@ def make_dp_train_step(opt_cfg: OptimizationConfig,
                 (g_p, g_e, g_o), aux = jax.grad(
                     view_loss, argnums=(0, 1, 2), has_aux=True)(
                         params, exposure, offset, view)
-                radii, visible, photo, depth = aux
+                radii, visible, photo, depth, n_dup = aux
                 g_acc = jax.tree.map(jnp.add, g_acc, (g_p, g_e, g_o))
                 stats = (jnp.maximum(stats[0], radii),
                          stats[1] | visible,
-                         stats[2] + photo, stats[3] + depth)
+                         stats[2] + photo, stats[3] + depth,
+                         jnp.maximum(stats[4], n_dup))
                 return (g_acc, stats), None
 
             zero_g = (jax.tree.map(jnp.zeros_like, params),
@@ -249,7 +253,8 @@ def make_dp_train_step(opt_cfg: OptimizationConfig,
                       jnp.zeros((state.capacity, 2), jnp.float32))
             zero_s = (jnp.zeros(state.capacity, jnp.int32),
                       jnp.zeros(state.capacity, bool),
-                      jnp.zeros(()), jnp.zeros(()))
+                      jnp.zeros(()), jnp.zeros(()),
+                      jnp.zeros((), jnp.int32))
             (g, stats), _ = jax.lax.scan(body, (zero_g, zero_s), batch)
             g = jax.lax.psum(jax.tree.map(lambda x: x / n_total, g),
                              DATA_AXIS)
@@ -258,7 +263,8 @@ def make_dp_train_step(opt_cfg: OptimizationConfig,
                                    DATA_AXIS) > 0
             photo = jax.lax.psum(stats[2], DATA_AXIS) / n_total
             depth = jax.lax.psum(stats[3], DATA_AXIS) / n_total
-            return g, (radii, visible, photo, depth)
+            n_dup = jax.lax.pmax(stats[4], DATA_AXIS)
+            return g, (radii, visible, photo, depth, n_dup)
 
         batch_spec = jax.tree.map(lambda _: P(DATA_AXIS), batch)
         (g_params, g_exp, g_offset), aux = jax.shard_map(
@@ -268,7 +274,7 @@ def make_dp_train_step(opt_cfg: OptimizationConfig,
             out_specs=(P(), P()),
             check_vma=False,
         )(params, exposure, batch)
-        radii, visible, photo, depth = aux
+        radii, visible, photo, depth, n_dup = aux
 
         if skybox_locked:
             locked = state.locked_rows_mask()
@@ -308,6 +314,6 @@ def make_dp_train_step(opt_cfg: OptimizationConfig,
             exposure_opt=exposure_opt, photo_loss=photo,
             depth_loss=depth,
             n_visible=jnp.sum(visible.astype(jnp.int32)),
-            n_duplicates=jnp.zeros((), jnp.int32))
+            n_duplicates=n_dup)
 
     return step

@@ -79,6 +79,39 @@ class DevicePrefetcher:
         return host, dev
 
 
+class BatchedPrefetcher:
+    """DevicePrefetcher for the data-parallel step: stacks ``batch_size``
+    consecutive views into one leading-axis ViewBatch and transfers it
+    pre-sharded over the mesh's data axis (each device receives only its
+    shard of the batch; parameters stay replicated).
+
+    All views must share one resolution — the camera pytree keeps H/W as
+    static aux data, so stacking mixed sizes fails loudly rather than
+    silently resampling.
+    """
+
+    def __init__(self, stream, batch_size: int, sharding):
+        from .step import encode_view
+        self.stream = stream
+        self.batch_size = batch_size
+        self.sharding = sharding
+        self.encode = encode_view
+        self._next = self._launch()
+
+    def _launch(self):
+        hosts = [next(self.stream) for _ in range(self.batch_size)]
+        enc = [self.encode(h) for h in hosts]
+        stacked = jax.tree.map(lambda *xs: np.stack(xs), *enc)
+        dev = jax.tree.map(
+            lambda x: jax.device_put(x, self.sharding), stacked)
+        return hosts, dev
+
+    def __next__(self):
+        hosts, dev = self._next
+        self._next = self._launch()
+        return hosts, dev
+
+
 @dataclasses.dataclass
 class TrainLog:
     """Deferred-sync loss log: holds device arrays between log points so
@@ -106,27 +139,49 @@ def train_flat(cfg: FullConfig, scene: Scene, coarse: bool = False,
                checkpoint_iterations: Optional[List[int]] = None,
                start_checkpoint: str = "",
                progress_cb: Optional[Callable] = None,
-               viewer=None) -> None:
+               viewer=None):
     """Flat-model training: train_single (coarse=False) or train_coarse.
 
     Coarse variant (train_coarse.py:55-145): sh degree 1, frozen xyz, no
     depth loss / exposure step / densification, shrink threshold 0.1.
+    Returns the final (state, exposure); scene.state's buffers are donated
+    to the jitted step and must not be read afterwards.
     """
     opt_cfg = cfg.opt
     r_cfg = raster_config(cfg)
     max_sh = 1 if coarse else cfg.model.sh_degree
     save_iterations = save_iterations or [opt_cfg.iterations]
 
+    # In-step view data parallelism (VERDICT r1 item 2): shard a batch of
+    # views over the mesh's data axis via parallel/step.make_dp_train_step
+    # — the TPU-slice replacement for the reference's one-chunk-per-GPU
+    # SLURM mapping (scripts/full_train.py:162-236). data_devices=1 with
+    # views_per_step>1 gives single-device gradient accumulation.
+    n_data = max(cfg.runtime.data_devices, 1)
+    views_per_step = cfg.runtime.views_per_step or n_data
+    use_dp = n_data > 1 or views_per_step > 1
+    if views_per_step % n_data:
+        raise ValueError(f"views_per_step ({views_per_step}) must be a "
+                         f"multiple of data_devices ({n_data})")
+    if use_dp:
+        from ..parallel import sharding as shard_lib
+        from ..parallel.step import make_dp_train_step
+        mesh = shard_lib.make_mesh(n_data=n_data, n_tile=1)
+        batch_sharding = shard_lib.data_sharded(mesh)
+
+    step_kwargs = dict(
+        use_depth_loss=not coarse,
+        use_exposure=not coarse,
+        skybox_locked=cfg.model.skybox_locked or coarse,
+        freeze_xyz=coarse,
+        shrink_threshold=0.1 if coarse else 0.02,
+        shrink_protect_scaffold=True,
+        skip_shrink=cfg.model.skip_scale_big_gauss)
+
     def build_step(rc: RasterizeConfig):
-        return make_train_step(
-            opt_cfg, rc,
-            use_depth_loss=not coarse,
-            use_exposure=not coarse,
-            skybox_locked=cfg.model.skybox_locked or coarse,
-            freeze_xyz=coarse,
-            shrink_threshold=0.1 if coarse else 0.02,
-            shrink_protect_scaffold=True,
-            skip_shrink=cfg.model.skip_scale_big_gauss)
+        if use_dp:
+            return make_dp_train_step(opt_cfg, rc, mesh, **step_kwargs)
+        return make_train_step(opt_cfg, rc, **step_kwargs)
 
     # Adaptive entry budget: start one bucket down from the cap and follow
     # the observed duplicate count (see _entry_bucket). Grows immediately
@@ -153,7 +208,10 @@ def train_flat(cfg: FullConfig, scene: Scene, coarse: bool = False,
     extent = jnp.asarray(scene.cameras_extent, jnp.float32)
     spatial_lr = jnp.asarray(scene.cameras_extent, jnp.float32)
     stream = scene.train_stream(num_workers=8)
-    prefetch = DevicePrefetcher(stream)
+    if use_dp:
+        prefetch = BatchedPrefetcher(stream, views_per_step, batch_sharding)
+    else:
+        prefetch = DevicePrefetcher(stream)
     rng = jax.random.PRNGKey(0)
     log = TrainLog(t_start=time.time())
     # Device-side running max of duplicate counts: tracked every iteration
@@ -239,6 +297,7 @@ def train_flat(cfg: FullConfig, scene: Scene, coarse: bool = False,
                     state, opt, exposure, exp_opt, it)
     finally:
         stream.close()
+    return state, exposure
 
 
 def train_post(cfg: FullConfig, scene: Scene,
