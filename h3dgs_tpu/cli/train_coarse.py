@@ -14,6 +14,7 @@ def main(argv=None):
     from ..scene.scene import Scene
     from ..train.loop import train_flat
     from ..viewer.network_gui import maybe_viewer
+    from ..parallel import multihost
     from .common import build_parser, dump_cfg_args, parse_full_config
 
     parser = build_parser("Coarse scaffold training (TPU)")
@@ -26,7 +27,9 @@ def main(argv=None):
     parser.add_argument("--disable_viewer", action="store_true")
     cfg, args = parse_full_config(parser, argv)
     cfg.model.sh_degree = 1  # scaffold is degree-1 (train_coarse.py:31)
-    dump_cfg_args(cfg)
+    multihost.initialize()   # no-op single-process; SLURM/env multi-host
+    if multihost.is_primary():
+        dump_cfg_args(cfg)
     saves = sorted(set(args.save_iterations + [cfg.opt.iterations]))
 
     scene = Scene(cfg.model, cfg.runtime)

@@ -12,6 +12,7 @@ import sys
 def main(argv=None):
     from ..scene.scene import Scene
     from ..train.loop import train_post
+    from ..parallel import multihost
     from .common import build_parser, dump_cfg_args, parse_full_config
 
     parser = build_parser("Hierarchy post-optimization (TPU)")
@@ -20,7 +21,9 @@ def main(argv=None):
                         default=[])
     parser.add_argument("--start_checkpoint", type=str, default="")
     cfg, args = parse_full_config(parser, argv)
-    dump_cfg_args(cfg)
+    multihost.initialize()   # no-op single-process; SLURM/env multi-host
+    if multihost.is_primary():
+        dump_cfg_args(cfg)
     saves = sorted(set(args.save_iterations + [cfg.opt.iterations]))
 
     scene = Scene(cfg.model, cfg.runtime, create_from_hier=True)

@@ -30,6 +30,12 @@ def make_mesh(n_data: int = 1, n_tile: Optional[int] = None,
             raise ValueError(f"{len(devices)} devices not divisible by "
                              f"data={n_data}")
         n_tile = len(devices) // n_data
+    if n_data * n_tile > len(devices):
+        raise ValueError(
+            f"mesh ({n_data} data x {n_tile} tile) needs "
+            f"{n_data * n_tile} devices but only {len(devices)} are "
+            f"available (CPU emulation: set XLA_FLAGS="
+            f"--xla_force_host_platform_device_count=N)")
     use = np.array(devices[: n_data * n_tile]).reshape(n_data, n_tile)
     return Mesh(use, (DATA_AXIS, TILE_AXIS))
 

@@ -136,12 +136,12 @@ class Scene:
             max_sh_degree=self.cfg.sh_degree, n_skybox=n_skybox)
 
     def train_stream(self, seed: int = 0, num_workers: int = 8,
-                     shuffle: bool = True) -> ViewStream:
+                     shuffle: bool = True, keep_fn=None) -> ViewStream:
         return ViewStream(self.info.train_cameras,
                           resolution=self.cfg.resolution,
                           train_test_exp=self.cfg.train_test_exp,
                           num_workers=num_workers, seed=seed,
-                          shuffle=shuffle)
+                          shuffle=shuffle, keep_fn=keep_fn)
 
     def save(self, iteration: int, state: state_lib.GaussianState,
              exposures: Optional[np.ndarray] = None,

@@ -88,13 +88,20 @@ class BatchedPrefetcher:
     All views must share one resolution — the camera pytree keeps H/W as
     static aux data, so stacking mixed sizes fails loudly rather than
     silently resampling.
+
+    ``multihost=True``: ``batch_size`` is this PROCESS's share of the
+    global batch; the stacked local views become this host's shards of one
+    globally-sharded jax.Array (parallel/multihost.global_batch) — no
+    cross-host image traffic.
     """
 
-    def __init__(self, stream, batch_size: int, sharding):
+    def __init__(self, stream, batch_size: int, sharding,
+                 multihost: bool = False):
         from .step import encode_view
         self.stream = stream
         self.batch_size = batch_size
         self.sharding = sharding
+        self.multihost = multihost
         self.encode = encode_view
         self._next = self._launch()
 
@@ -102,8 +109,12 @@ class BatchedPrefetcher:
         hosts = [next(self.stream) for _ in range(self.batch_size)]
         enc = [self.encode(h) for h in hosts]
         stacked = jax.tree.map(lambda *xs: np.stack(xs), *enc)
-        dev = jax.tree.map(
-            lambda x: jax.device_put(x, self.sharding), stacked)
+        if self.multihost:
+            from ..parallel import multihost as mh
+            dev = mh.global_batch(stacked, self.sharding)
+        else:
+            dev = jax.tree.map(
+                lambda x: jax.device_put(x, self.sharding), stacked)
         return hosts, dev
 
     def __next__(self):
@@ -163,6 +174,26 @@ def train_flat(cfg: FullConfig, scene: Scene, coarse: bool = False,
     if views_per_step % n_data:
         raise ValueError(f"views_per_step ({views_per_step}) must be a "
                          f"multiple of data_devices ({n_data})")
+    # Multi-host: the mesh spans every host's devices; each host loads
+    # only its slice of each step's view window (ViewStream keep_fn over
+    # the shared-seed global sequence) and contributes it as local shards
+    # of one global batch. Artifact writes happen on process 0 only.
+    from ..parallel import multihost as mh
+    n_proc = jax.process_count()
+    primary = mh.is_primary()
+    keep_fn = None
+    local_views = views_per_step
+    if n_proc > 1:
+        if not use_dp:
+            raise ValueError("multi-host training requires data_devices>1 "
+                             "(the mesh must span all hosts' devices)")
+        if views_per_step % n_proc:
+            raise ValueError(f"views_per_step ({views_per_step}) must be "
+                             f"a multiple of process_count ({n_proc})")
+        local_views = views_per_step // n_proc
+        pidx = jax.process_index()
+        keep_fn = (lambda pos, _v=views_per_step, _l=local_views,
+                   _p=pidx: (pos % _v) // _l == _p)
     if use_dp:
         from ..parallel import sharding as shard_lib
         from ..parallel.step import make_dp_train_step
@@ -207,9 +238,10 @@ def train_flat(cfg: FullConfig, scene: Scene, coarse: bool = False,
           else jnp.zeros(3, jnp.float32))
     extent = jnp.asarray(scene.cameras_extent, jnp.float32)
     spatial_lr = jnp.asarray(scene.cameras_extent, jnp.float32)
-    stream = scene.train_stream(num_workers=8)
+    stream = scene.train_stream(num_workers=8, keep_fn=keep_fn)
     if use_dp:
-        prefetch = BatchedPrefetcher(stream, views_per_step, batch_sharding)
+        prefetch = BatchedPrefetcher(stream, local_views, batch_sharding,
+                                     multihost=n_proc > 1)
     else:
         prefetch = DevicePrefetcher(stream)
     rng = jax.random.PRNGKey(0)
@@ -266,7 +298,11 @@ def train_flat(cfg: FullConfig, scene: Scene, coarse: bool = False,
                     msg += (f" ENTRY-OVERFLOW {n_dup}>"
                             f"{r_cfg.max_entries} (tail tiles dropped; "
                             f"{hint})")
-                print(msg, flush=True)
+                if primary:
+                    print(msg, flush=True)
+                # Budget-ladder decisions run on EVERY process (n_dup is
+                # a replicated array, so all hosts agree and re-jit the
+                # same program); only the logging is primary-gated.
                 if cfg.runtime.adaptive_entries:
                     want = _entry_bucket(n_dup, entry_floor, entry_cap)
                     cur = r_cfg.max_entries
@@ -274,24 +310,27 @@ def train_flat(cfg: FullConfig, scene: Scene, coarse: bool = False,
                         shrink_votes = 0
                         r_cfg = r_cfg._replace(max_entries=want)
                         step = build_step(r_cfg)
-                        print(f"[{it}] entry budget {cur} -> {want}",
-                              flush=True)
+                        if primary:
+                            print(f"[{it}] entry budget {cur} -> {want}",
+                                  flush=True)
                     elif want < cur:
                         shrink_votes += 1
                         if shrink_votes >= 6:
                             shrink_votes = 0
                             r_cfg = r_cfg._replace(max_entries=want)
                             step = build_step(r_cfg)
-                            print(f"[{it}] entry budget {cur} -> {want}",
-                                  flush=True)
+                            if primary:
+                                print(f"[{it}] entry budget {cur} -> "
+                                      f"{want}", flush=True)
                     else:
                         shrink_votes = 0
                 if progress_cb:
                     progress_cb(it, log)
-            if it in save_iterations:
+            if it in save_iterations and primary:
                 path = scene.save(it, state, np.asarray(exposure))
                 print(f"[{it}] saved -> {path}", flush=True)
-            if checkpoint_iterations and it in checkpoint_iterations:
+            if checkpoint_iterations and it in checkpoint_iterations \
+                    and primary:
                 ckpt_lib.save_flat(
                     os.path.join(scene.model_path, f"chkpnt{it}.npz"),
                     state, opt, exposure, exp_opt, it)

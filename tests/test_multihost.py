@@ -1,0 +1,98 @@
+"""Multi-host runtime (VERDICT r1 item 3): an emulated 2-process CPU run
+(jax.distributed over local TCP, 1 device per process) of train_flat's
+data-parallel path must produce the same parameters as the single-process
+2-device run — the dp step's psum rides the cross-process backend (gloo)
+instead of intra-process XLA reduction, and view loading/artifact writes
+follow the multi-host roles (per-host keep_fn slices, primary-only save).
+
+SURVEY.md §5 'Distributed communication backend'; replaces the
+reference's one-process-per-GPU SLURM mapping
+(/root/reference/scripts/full_train.py:8-26)."""
+import dataclasses
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from h3dgs_tpu.config import (FullConfig, ModelConfig, OptimizationConfig,
+                              RuntimeConfig)
+from h3dgs_tpu.scene.scene import Scene
+from h3dgs_tpu.train.loop import train_flat
+
+from .synthetic_scene import make_gaussian_scene, ring_cameras, write_colmap_scene
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ITERS = 4
+NPROC = 2
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def toy_path(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("mh_toy"))
+    arrays = make_gaussian_scene(n=70, seed=5)
+    write_colmap_scene(path, *arrays, ring_cameras(n_cams=8), test_every=0)
+    return path
+
+
+@pytest.mark.slow
+def test_two_process_run_matches_single_process(toy_path, tmp_path):
+    port = _free_port()
+    out = str(tmp_path / "mh_result.npz")
+    env = dict(os.environ,
+               JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=1")
+    env.pop("PYTEST_CURRENT_TEST", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tests/multihost_worker.py"),
+             "--scene", toy_path, "--out", out, "--pid", str(pid),
+             "--nproc", str(NPROC), "--port", str(port),
+             "--iters", str(ITERS), "--data_devices", str(NPROC)],
+            env=env, cwd=REPO, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True)
+        for pid in range(NPROC)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            o, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(o)
+    for pid, (p, o) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{o[-3000:]}"
+    assert os.path.exists(out), "primary never wrote the result"
+
+    # Single-process reference: same config on a 2-device local mesh
+    # (conftest gives this process 8 virtual CPU devices; make_mesh uses
+    # the first 2). Same seed => same view sequence => same batches.
+    cfg = FullConfig(
+        model=ModelConfig(source_path=toy_path,
+                          model_path=str(tmp_path / "ref_model"),
+                          resolution=1),
+        opt=OptimizationConfig(iterations=ITERS, densify_from_iter=10**9,
+                               densify_until_iter=0,
+                               opacity_reset_interval=10**9,
+                               position_lr_max_steps=ITERS),
+        runtime=RuntimeConfig(max_entries=1 << 14, max_per_tile=256,
+                              blend_chunk=16, capacity_factor=2.0,
+                              data_devices=NPROC, views_per_step=NPROC))
+    scene = Scene(cfg.model, cfg.runtime)
+    state, _ = train_flat(cfg, scene, coarse=False)
+
+    got = np.load(out)
+    np.testing.assert_allclose(got["xyz"], np.asarray(state.xyz),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(got["opacity"], np.asarray(state.opacity),
+                               rtol=2e-4, atol=2e-5)
