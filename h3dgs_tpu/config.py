@@ -95,6 +95,12 @@ class RuntimeConfig:
     # applied to the initial point count when capacity == 0).
     capacity: int = 0
     capacity_factor: float = 8.0
+    # Grow capacity (bucketed re-alloc + optimizer-moment copy) when a
+    # densify pass drops clones/splits for lack of free slots; False keeps
+    # the fixed budget and only warns.
+    grow_capacity: bool = True
+    # Upper bound for capacity growth (0 = unlimited).
+    max_capacity: int = 0
     # Sharding: number of devices for pixel-band sharding (0 = all local).
     n_devices: int = 1
     mesh_axis: str = "tile"

@@ -80,3 +80,29 @@ def reset_rows(state: AdamState, row_mask: jax.Array,
         mu[k] = jnp.where(m, 0.0, state.mu[k])
         nu[k] = jnp.where(m, 0.0, state.nu[k])
     return dataclasses.replace(state, mu=mu, nu=nu)
+
+
+def grow_rows(state: AdamState, new_capacity: int,
+              tail_rows: int = 0) -> AdamState:
+    """Grow per-row moments to a larger capacity (zeros for new rows).
+
+    Companion to model.state.grow_capacity: ``tail_rows`` > 0 keeps that
+    many trailing rows (skybox_last layout) at the END of the new arrays,
+    inserting the zero padding before them; moments stay row-aligned with
+    the grown parameter arrays. The shared step counter is untouched
+    (OurAdam semantics: one counter for the whole group).
+    """
+    def grow(a):
+        c = a.shape[0]
+        if new_capacity <= c:
+            raise ValueError(f"new capacity {new_capacity} <= current {c}")
+        z = jnp.zeros((new_capacity,) + a.shape[1:], a.dtype)
+        body = c - tail_rows
+        z = z.at[:body].set(a[:body])
+        if tail_rows:
+            z = z.at[new_capacity - tail_rows:].set(a[body:])
+        return z
+
+    return AdamState(mu={k: grow(v) for k, v in state.mu.items()},
+                     nu={k: grow(v) for k, v in state.nu.items()},
+                     step=state.step)

@@ -158,6 +158,11 @@ class AlignedBins(NamedTuple):
     # are dropped) — budget pressure must be judged on
     # max(total_entries, aligned_entries), not total_entries alone.
     aligned_entries: jnp.ndarray
+    # [] int32: entries silently cut by the max_per_tile clamp (sum over
+    # tiles of count - max_per_tile). The CUDA reference never truncates a
+    # tile; any nonzero value here is a quality cliff the training loop
+    # must surface (VERDICT r1 weak-4).
+    n_truncated: jnp.ndarray
 
 
 def align_segments(binned: BinnedGaussians, n_tiles: int, max_entries: int,
@@ -180,6 +185,7 @@ def _aligned_from_sorted(gauss_idx, tile_start, tile_count, total, n_tiles,
     tile-table gather (~7 ms)."""
     d = gauss_idx.shape[0]
     count = jnp.minimum(tile_count, max_per_tile)                 # [T]
+    n_trunc = jnp.sum(jnp.maximum(tile_count - max_per_tile, 0))
     aligned = -(-count // chunk_e) * chunk_e                      # [T]
     astart = jnp.cumsum(aligned) - aligned                        # [T]
 
@@ -219,7 +225,8 @@ def _aligned_from_sorted(gauss_idx, tile_start, tile_count, total, n_tiles,
         tile_start=astart.astype(jnp.int32),
         tile_count=count.astype(jnp.int32),
         total_entries=total,
-        aligned_entries=(astart[-1] + aligned[-1]).astype(jnp.int32))
+        aligned_entries=(astart[-1] + aligned[-1]).astype(jnp.int32),
+        n_truncated=n_trunc.astype(jnp.int32))
 
 
 def bin_gaussians_aligned(proj: ProjectedGaussians, height: int, width: int,

@@ -282,14 +282,16 @@ def blend_tiles_pallas(proj: ProjectedGaussians, height: int, width: int,
     # Budget pressure = worst of raw duplicates and chunk-padded aligned
     # slots: either exceeding max_entries drops tail entries/tiles.
     n_need = jnp.maximum(bins.total_entries, bins.aligned_entries)
-    return image, invdepth, final_t, n_need
+    return image, invdepth, final_t, n_need, bins.n_truncated
 
 
 def blend_auto(proj: ProjectedGaussians, height: int, width: int, bg_color,
                config: RasterizeConfig):
     """Backend-dispatching blend of projected Gaussians into an image.
 
-    Returns (image [3,H,W], invdepth [1,H,W], final_T [H,W], n_need []).
+    Returns (image [3,H,W], invdepth [1,H,W], final_T [H,W], n_need [],
+    n_truncated [] — entries cut by max_per_tile; the XLA path never
+    truncates per-tile, so it reports 0).
     """
     if _use_pallas(config):
         return blend_tiles_pallas(proj, height, width,
@@ -298,7 +300,8 @@ def blend_auto(proj: ProjectedGaussians, height: int, width: int, bg_color,
                            config.tile)
     image, invdepth, final_t = blend_tiles(
         proj, binned, height, width, jnp.asarray(bg_color), config)
-    return image, invdepth, final_t, binned.total_entries
+    return (image, invdepth, final_t, binned.total_entries,
+            jnp.zeros((), jnp.int32))
 
 
 def rasterize(
@@ -323,7 +326,7 @@ def rasterize(
                              colors_precomp=colors_precomp)
     if means2d_offset is not None:
         proj = proj._replace(means2d=proj.means2d + means2d_offset)
-    image, invdepth, final_t, n_dup = blend_auto(
+    image, invdepth, final_t, n_dup, n_trunc = blend_auto(
         proj, camera.height, camera.width, bg_color, config)
     return {
         "render": image,
@@ -332,4 +335,5 @@ def rasterize(
         "radii": proj.radius,
         "visibility_filter": proj.radius > 0,
         "n_duplicates": n_dup,
+        "n_truncated": n_trunc,
     }

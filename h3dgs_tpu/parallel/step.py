@@ -98,7 +98,7 @@ def make_parallel_train_step(opt_cfg: OptimizationConfig,
             else:
                 depth = jnp.zeros(())
             aux = (out["radii"], out["visibility_filter"], photo, depth,
-                   out["n_duplicates"])
+                   out["n_duplicates"], out["n_truncated"])
             return photo + depth, aux
 
         def batch_loss(params, exposure, offset):
@@ -109,10 +109,11 @@ def make_parallel_train_step(opt_cfg: OptimizationConfig,
 
         grad_fn = jax.grad(batch_loss, argnums=(0, 1, 2), has_aux=True)
         (g_params, g_exp, g_offset), aux = grad_fn(params, exposure, offset)
-        radii_b, visible_b, photo_b, depth_b, dup_b = aux
+        radii_b, visible_b, photo_b, depth_b, dup_b, trunc_b = aux
         radii = jnp.max(radii_b, axis=0)
         visible = jnp.any(visible_b, axis=0)
         n_dup = jnp.max(dup_b)
+        n_trunc = jnp.max(trunc_b)
 
         if skybox_locked:
             locked = state.locked_rows_mask()
@@ -152,7 +153,7 @@ def make_parallel_train_step(opt_cfg: OptimizationConfig,
             exposure_opt=exposure_opt, photo_loss=jnp.mean(photo_b),
             depth_loss=jnp.mean(depth_b),
             n_visible=jnp.sum(visible.astype(jnp.int32)),
-            n_duplicates=n_dup)
+            n_duplicates=n_dup, n_truncated=n_trunc)
 
     return step
 
@@ -226,7 +227,7 @@ def make_dp_train_step(opt_cfg: OptimizationConfig,
             else:
                 depth = jnp.zeros(())
             aux = (out["radii"], out["visibility_filter"], photo, depth,
-                   out["n_duplicates"])
+                   out["n_duplicates"], out["n_truncated"])
             return photo + depth, aux
 
         n_total = batch.gt_image.shape[0]
@@ -240,12 +241,13 @@ def make_dp_train_step(opt_cfg: OptimizationConfig,
                 (g_p, g_e, g_o), aux = jax.grad(
                     view_loss, argnums=(0, 1, 2), has_aux=True)(
                         params, exposure, offset, view)
-                radii, visible, photo, depth, n_dup = aux
+                radii, visible, photo, depth, n_dup, n_trunc = aux
                 g_acc = jax.tree.map(jnp.add, g_acc, (g_p, g_e, g_o))
                 stats = (jnp.maximum(stats[0], radii),
                          stats[1] | visible,
                          stats[2] + photo, stats[3] + depth,
-                         jnp.maximum(stats[4], n_dup))
+                         jnp.maximum(stats[4], n_dup),
+                         jnp.maximum(stats[5], n_trunc))
                 return (g_acc, stats), None
 
             zero_g = (jax.tree.map(jnp.zeros_like, params),
@@ -254,6 +256,7 @@ def make_dp_train_step(opt_cfg: OptimizationConfig,
             zero_s = (jnp.zeros(state.capacity, jnp.int32),
                       jnp.zeros(state.capacity, bool),
                       jnp.zeros(()), jnp.zeros(()),
+                      jnp.zeros((), jnp.int32),
                       jnp.zeros((), jnp.int32))
             (g, stats), _ = jax.lax.scan(body, (zero_g, zero_s), batch)
             g = jax.lax.psum(jax.tree.map(lambda x: x / n_total, g),
@@ -264,7 +267,8 @@ def make_dp_train_step(opt_cfg: OptimizationConfig,
             photo = jax.lax.psum(stats[2], DATA_AXIS) / n_total
             depth = jax.lax.psum(stats[3], DATA_AXIS) / n_total
             n_dup = jax.lax.pmax(stats[4], DATA_AXIS)
-            return g, (radii, visible, photo, depth, n_dup)
+            n_trunc = jax.lax.pmax(stats[5], DATA_AXIS)
+            return g, (radii, visible, photo, depth, n_dup, n_trunc)
 
         batch_spec = jax.tree.map(lambda _: P(DATA_AXIS), batch)
         (g_params, g_exp, g_offset), aux = jax.shard_map(
@@ -274,7 +278,7 @@ def make_dp_train_step(opt_cfg: OptimizationConfig,
             out_specs=(P(), P()),
             check_vma=False,
         )(params, exposure, batch)
-        radii, visible, photo, depth, n_dup = aux
+        radii, visible, photo, depth, n_dup, n_trunc = aux
 
         if skybox_locked:
             locked = state.locked_rows_mask()
@@ -314,6 +318,6 @@ def make_dp_train_step(opt_cfg: OptimizationConfig,
             exposure_opt=exposure_opt, photo_loss=photo,
             depth_loss=depth,
             n_visible=jnp.sum(visible.astype(jnp.int32)),
-            n_duplicates=n_dup)
+            n_duplicates=n_dup, n_truncated=n_trunc)
 
     return step

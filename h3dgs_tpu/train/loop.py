@@ -19,6 +19,7 @@ import numpy as np
 from ..config import FullConfig
 from ..ops import adam as adam_lib
 from ..ops.rasterize import RasterizeConfig
+from ..model import state as state_lib
 from ..scene.scene import Scene
 from ..utils import schedules
 from . import checkpoint as ckpt_lib
@@ -51,6 +52,17 @@ def _entry_bucket(n_dup: int, floor: int, cap: int) -> int:
             p = (p // 8) * frac
             break
     return min(max(p, floor), cap)
+
+
+def _capacity_bucket(cap: int, n_drop: int, max_cap: int) -> int:
+    """Next capacity bucket after a densify drop: at least 1.5x (so growth
+    events stay rare; each one recompiles the step), covering the dropped
+    items with headroom, rounded to a 1024 multiple for clean tiling."""
+    need = max(int(cap * 1.5), cap + 4 * n_drop)
+    need = -(-need // 1024) * 1024
+    if max_cap > 0:
+        need = min(need, max(max_cap, cap))
+    return need
 
 
 def _device_batch(batch: ViewBatch) -> ViewBatch:
@@ -246,9 +258,10 @@ def train_flat(cfg: FullConfig, scene: Scene, coarse: bool = False,
         prefetch = DevicePrefetcher(stream)
     rng = jax.random.PRNGKey(0)
     log = TrainLog(t_start=time.time())
-    # Device-side running max of duplicate counts: tracked every iteration
-    # without a host sync, read only at log points.
+    # Device-side running max of duplicate/truncation counts: tracked
+    # every iteration without a host sync, read only at log points.
     ndup_max = jnp.int32(0)
+    ntrunc_max = jnp.int32(0)
 
     try:
         for it in range(first_iter + 1, opt_cfg.iterations + 1):
@@ -269,6 +282,7 @@ def train_flat(cfg: FullConfig, scene: Scene, coarse: bool = False,
             exposure, exp_opt = out.exposure, out.exposure_opt
             log.update(out.photo_loss, out.depth_loss)
             ndup_max = jnp.maximum(ndup_max, out.n_duplicates)
+            ntrunc_max = jnp.maximum(ntrunc_max, out.n_truncated)
 
             if not coarse and it < opt_cfg.densify_until_iter:
                 if (it > opt_cfg.densify_from_iter
@@ -277,6 +291,30 @@ def train_flat(cfg: FullConfig, scene: Scene, coarse: bool = False,
                     state, opt, stats = densify_step(
                         state, opt, k, opt_cfg.densify_grad_threshold,
                         0.005, extent, opt_cfg.percent_dense)
+                    # Capacity-pressure check: syncing n_dropped here
+                    # costs one host round-trip per densify interval.
+                    # The reference never drops (dynamic realloc,
+                    # gaussian_model.py:620-689); the static-shape
+                    # equivalent is a bucketed grow + moment copy.
+                    n_drop = int(stats[3])
+                    if n_drop > 0:
+                        cap = state.capacity
+                        want = _capacity_bucket(
+                            cap, n_drop, cfg.runtime.max_capacity)
+                        if cfg.runtime.grow_capacity and want > cap:
+                            tail = (state.n_skybox if state.skybox_last
+                                    else 0)
+                            state = state_lib.grow_capacity(state, want)
+                            opt = adam_lib.grow_rows(opt, want, tail)
+                            if primary:
+                                print(f"[{it}] DENSIFY-DROP {n_drop}: "
+                                      f"capacity {cap} -> {want}",
+                                      flush=True)
+                        elif primary:
+                            print(f"[{it}] DENSIFY-DROP {n_drop} "
+                                  f"(capacity {cap} full; growth "
+                                  f"disabled or at max_capacity)",
+                                  flush=True)
                 if it % opt_cfg.opacity_reset_interval == 0 or (
                         cfg.model.white_background
                         and it == opt_cfg.densify_from_iter):
@@ -286,7 +324,9 @@ def train_flat(cfg: FullConfig, scene: Scene, coarse: bool = False,
                 log.sync()
                 n_alive = int(state.n_alive)
                 n_dup = int(ndup_max)      # window max, not last view
+                n_trunc = int(ntrunc_max)
                 ndup_max = jnp.int32(0)
+                ntrunc_max = jnp.int32(0)
                 rate = it / max(time.time() - log.t_start, 1e-9)
                 msg = (f"[{it}/{opt_cfg.iterations}] "
                        f"loss={log.ema_photo:.5f} "
@@ -298,6 +338,10 @@ def train_flat(cfg: FullConfig, scene: Scene, coarse: bool = False,
                     msg += (f" ENTRY-OVERFLOW {n_dup}>"
                             f"{r_cfg.max_entries} (tail tiles dropped; "
                             f"{hint})")
+                if n_trunc > 0:
+                    msg += (f" TILE-TRUNCATED {n_trunc} entries "
+                            f"(raise --max_per_tile; quality degrades on "
+                            f"dense tiles)")
                 if primary:
                     print(msg, flush=True)
                 # Budget-ladder decisions run on EVERY process (n_dup is
@@ -343,8 +387,13 @@ def train_post(cfg: FullConfig, scene: Scene,
                save_iterations: Optional[List[int]] = None,
                checkpoint_iterations: Optional[List[int]] = None,
                start_checkpoint: str = "",
-               progress_cb: Optional[Callable] = None) -> None:
-    """Hierarchy fine-tune (train_post.py:31-198)."""
+               progress_cb: Optional[Callable] = None,
+               initial_max_cut: int = 0) -> None:
+    """Hierarchy fine-tune (train_post.py:31-198).
+
+    ``initial_max_cut`` overrides the auto-sized starting cut bucket
+    (testing / memory-constrained starts); overflow still grows it.
+    """
     opt_cfg = cfg.opt
     r_cfg = raster_config(cfg)
     h = scene.hierarchy
@@ -353,15 +402,22 @@ def train_post(cfg: FullConfig, scene: Scene,
     max_sh = cfg.model.sh_degree
 
     # Static cut capacity: every node could be in a cut in the worst case,
-    # but practical cuts are ~leaf-count; cap with headroom and report
-    # overflow. Power-of-2 bucket keeps recompiles away.
+    # but practical cuts are ~leaf-count; start with headroom and GROW the
+    # bucket on overflow (the reference never truncates a cut — dynamic
+    # allocation, train_post.py:91-99). Power-of-2 buckets bound the
+    # number of recompiles by log2(n_nodes).
     max_cut = 1 << int(np.ceil(np.log2(max(h.n_leaves, 2) * 1.25)))
     max_cut = min(max_cut, h.n_nodes)
+    if initial_max_cut > 0:
+        max_cut = min(initial_max_cut, h.n_nodes)
 
-    step = make_post_train_step(
-        opt_cfg, r_cfg, max_cut,
-        skybox_locked=cfg.model.skybox_locked,
-        use_exposure=scene.pretrained_exposures is not None)
+    def build_step(mc: int):
+        return make_post_train_step(
+            opt_cfg, r_cfg, mc,
+            skybox_locked=cfg.model.skybox_locked,
+            use_exposure=scene.pretrained_exposures is not None)
+
+    step = build_step(max_cut)
 
     state = scene.state
     opt = adam_lib.init(state.trainable_dict())
@@ -400,7 +456,19 @@ def train_post(cfg: FullConfig, scene: Scene,
                 log.sync()
                 cut = int(out.cut_size)
                 rate = it / max(time.time() - log.t_start, 1e-9)
-                over = " OVERFLOW" if cut > max_cut else ""
+                over = ""
+                if cut > max_cut and max_cut < h.n_nodes:
+                    # Recent steps rendered a TRUNCATED cut; grow the
+                    # bucket so the next steps see the full selection.
+                    new_mc = max_cut
+                    while new_mc < min(cut, h.n_nodes):
+                        new_mc *= 2
+                    new_mc = min(new_mc, h.n_nodes)
+                    over = f" CUT-OVERFLOW bucket {max_cut} -> {new_mc}"
+                    max_cut = new_mc
+                    step = build_step(max_cut)
+                elif cut > max_cut:
+                    over = " CUT-OVERFLOW (at n_nodes; cannot grow)"
                 print(f"[{it}/{opt_cfg.iterations}] "
                       f"loss={log.ema_photo:.5f} cut={cut}{over} "
                       f"it/s={rate:.2f}", flush=True)
