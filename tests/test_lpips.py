@@ -1,0 +1,59 @@
+"""LPIPS weighted path (VERDICT r1 item 7): the VGG-lin distance runs
+end-to-end given ANY shape-compatible .npz (here random weights), so the
+only missing piece in this environment is the pretrained tensor values —
+convert with eval/convert_lpips.py on a machine that has them."""
+import numpy as np
+import pytest
+
+from h3dgs_tpu.eval import metrics as M
+
+_VGG_CFG = M._VGG_CFG
+
+
+@pytest.fixture(scope="module")
+def random_weights(tmp_path_factory):
+    rng = np.random.default_rng(0)
+    arrays = {}
+    cin = 3
+    li = 0
+    for block in _VGG_CFG:
+        for cout in block:
+            arrays[f"conv{li}.weight"] = rng.normal(
+                0, 0.05, (cout, cin, 3, 3)).astype(np.float32)
+            arrays[f"conv{li}.bias"] = np.zeros(cout, np.float32)
+            cin = cout
+            li += 1
+    for i, block in enumerate(_VGG_CFG):
+        c = block[-1]
+        arrays[f"lin{i}.weight"] = np.abs(rng.normal(
+            0, 0.1, (1, c, 1, 1))).astype(np.float32)
+    path = tmp_path_factory.mktemp("lpips") / "rand_lpips.npz"
+    np.savez(path, **arrays)
+    return str(path)
+
+
+def test_lpips_none_without_weights(monkeypatch):
+    monkeypatch.delenv(M.LPIPS_WEIGHTS_ENV, raising=False)
+    img = np.random.default_rng(1).uniform(0, 1, (3, 32, 32))
+    assert M.lpips(img, img) is None
+
+
+def test_lpips_weighted_path(random_weights):
+    rng = np.random.default_rng(2)
+    a = rng.uniform(0, 1, (3, 32, 32)).astype(np.float32)
+    b = rng.uniform(0, 1, (3, 32, 32)).astype(np.float32)
+    d_same = M.lpips(a, a, weights_path=random_weights)
+    d_diff = M.lpips(a, b, weights_path=random_weights)
+    assert d_same is not None and d_diff is not None
+    assert abs(d_same) < 1e-6
+    assert d_diff > 1e-5
+    assert np.isfinite(d_diff)
+
+
+def test_lpips_env_var_discovery(random_weights, monkeypatch):
+    monkeypatch.setenv(M.LPIPS_WEIGHTS_ENV, random_weights)
+    rng = np.random.default_rng(3)
+    a = rng.uniform(0, 1, (3, 16, 16)).astype(np.float32)
+    b = np.clip(a + 0.1, 0, 1)
+    d = M.lpips(a, b)
+    assert d is not None and d > 0

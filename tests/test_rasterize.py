@@ -67,31 +67,80 @@ def test_forward_dense_overdraw():
                          flip_budget=0.01)
 
 
+def _grads_both(params, cam, bg, target):
+    def loss_ref(p):
+        out = ref.render_reference(*p, cam, 1, bg)
+        return jnp.mean((out["render"] - target) ** 2)
+
+    def loss_fast(p):
+        out = R.rasterize(*p, cam, 1, bg, config=CFG)
+        return jnp.mean((out["render"] - target) ** 2)
+
+    return jax.grad(loss_fast)(params), jax.grad(loss_ref)(params)
+
+
 def test_gradients_match_oracle():
+    """With NO pixel near the 1e-4 termination epsilon, every
+    implementation must make identical termination decisions, so the
+    gradients must agree to f32 noise — 100% of elements, no flip budget
+    (VERDICT r1 weak-8: tolerance justified by construction). The min-T
+    assertion proves the construction holds."""
     means, scales, quats, opac, shs = random_scene(40, 7, 1)
     cam = make_test_camera(width=32, height=32)
     bg = jnp.zeros(3, jnp.float32)
     target = jnp.ones((3, cam.height, cam.width), jnp.float32) * 0.5
-
-    def loss_ref(params):
-        out = ref.render_reference(*params, cam, 1, bg)
-        return jnp.mean((out["render"] - target) ** 2)
-
-    def loss_fast(params):
-        out = R.rasterize(*params, cam, 1, bg, config=CFG)
-        return jnp.mean((out["render"] - target) ** 2)
-
     params = (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
               jnp.asarray(opac), jnp.asarray(shs))
-    g_ref = jax.grad(loss_ref)(params)
-    g_fast = jax.grad(loss_fast)(params)
+    ft = np.asarray(ref.render_reference(*params, cam, 1, bg)
+                    ["final_transmittance"])
+    assert ft.min() > 1e-2, "scene unexpectedly near termination"
+    g_fast, g_ref = _grads_both(params, cam, bg, target)
+    for a, b, name in zip(g_fast, g_ref,
+                          ["means", "scales", "quats", "opac", "shs"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-7, rtol=1e-5,
+                                   err_msg=f"grad mismatch: {name}")
+
+
+def test_gradients_flip_aware_dense():
+    """Termination-heavy scene: gradients of Gaussians that touch NO
+    near-termination pixel must still agree strictly; Gaussians whose
+    footprint hits a pixel where T crosses ~1e-4 may flip a termination
+    decision (summation-order dependent in every implementation, CUDA
+    included) and are only bounded in damage."""
+    means, scales, quats, opac, shs = random_scene(
+        120, 3, 1, spread=0.3, opacity_hi=0.999, scale_hi=0.4)
+    cam = make_test_camera(width=32, height=32)
+    bg = jnp.zeros(3, jnp.float32)
+    target = jnp.full((3, cam.height, cam.width), 0.5, jnp.float32)
+    params = (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+              jnp.asarray(opac), jnp.asarray(shs))
+    out_r = ref.render_reference(*params, cam, 1, bg)
+    ft = np.asarray(out_r["final_transmittance"])
+    # Flip-prone pixels: terminated or within a generous factor of the
+    # epsilon (the running T passed arbitrarily close to it there).
+    flip_px = ft < 1e-3
+    assert flip_px.any(), "dense scene produced no near-termination pixels"
+    from h3dgs_tpu.ops.projection import project_gaussians
+    proj = project_gaussians(*params, cam, 1, 1.0)
+    centers = np.asarray(proj.means2d)
+    radii = np.asarray(proj.radius).astype(np.float64)
+    ys, xs = np.nonzero(flip_px)
+    if len(xs):
+        d2 = ((centers[:, 0:1] - xs[None, :]) ** 2
+              + (centers[:, 1:2] - ys[None, :]) ** 2)
+        touches = (d2 <= (radii[:, None] + 1.0) ** 2).any(axis=1)
+    else:
+        touches = np.zeros(len(radii), bool)
+    touches |= radii == 0  # culled rows carry no signal either way
+    g_fast, g_ref = _grads_both(params, cam, bg, target)
     for a, b, name in zip(g_fast, g_ref,
                           ["means", "scales", "quats", "opac", "shs"]):
         a, b = np.asarray(a), np.asarray(b)
-        close = np.isclose(a, b, atol=3e-5, rtol=5e-3)
-        # Termination-threshold flips may perturb a few elements (see
-        # _assert_images_match); cap both the count and the damage.
-        assert close.mean() >= 0.99, f"grad mismatch: {name}"
+        clean = ~touches
+        np.testing.assert_allclose(
+            a[clean], b[clean], atol=3e-6, rtol=1e-4,
+            err_msg=f"flip-free grad mismatch: {name}")
         assert np.abs(a - b).max() < 5e-4, f"grad blowup: {name}"
 
 
