@@ -255,7 +255,8 @@ def _chunk_owners(owner_ref, c, s: int):
 
 
 def _fwd_kernel(owner_ref, entries_ref, out_ref, trans, term,
-                *, tiles_x: int, tile: int, p: int, q: int, s: int):
+                *, tiles_x: int, tile: int, p: int, q: int, s: int,
+                emit_dead: bool = True):
     c = pl.program_id(0)
     owners, first = _chunk_owners(owner_ref, c, s)
 
@@ -292,16 +293,19 @@ def _fwd_kernel(owner_ref, entries_ref, out_ref, trans, term,
                 precision=jax.lax.Precision.HIGHEST)
             t_after = _seg_trans_after(seg, i, q, live, t_incl, t_carry)
             out_ref[i, O_T, :] = t_after[:, 0]
-            # Dead-at-quantum-end flag: raw t_incl at the quantum's last
-            # lane mirrors _seg_new_term's cross-chunk termination test,
-            # so "dead here" == "no live lane of this tile ever again".
-            term_base_i = jnp.where(seg.bids[i] == 0, term_carry,
-                                    jnp.zeros_like(term_carry))
-            t_end_i = t_incl[:, (i + 1) * q - 1:(i + 1) * q]
-            dead_i = jnp.maximum(
-                term_base_i,
-                (t_end_i < TRANSMITTANCE_EPS).astype(jnp.float32))
-            out_ref[i, O_DEAD, :] = dead_i[:, 0]
+            if emit_dead:
+                # Dead-at-quantum-end flag: raw t_incl at the quantum's
+                # last lane mirrors _seg_new_term's cross-chunk
+                # termination test, so "dead here" == "no live lane of
+                # this tile ever again". Skipped for forward-only
+                # rendering (cfg.bwd_entries == 0).
+                term_base_i = jnp.where(seg.bids[i] == 0, term_carry,
+                                        jnp.zeros_like(term_carry))
+                t_end_i = t_incl[:, (i + 1) * q - 1:(i + 1) * q]
+                dead_i = jnp.maximum(
+                    term_base_i,
+                    (t_end_i < TRANSMITTANCE_EPS).astype(jnp.float32))
+                out_ref[i, O_DEAD, :] = dead_i[:, 0]
         trans[:, 0:1] = _seg_trans_after(seg, s - 1, q, live, t_incl,
                                          t_carry)
         term[:, 0:1] = _seg_new_term(seg, term_carry, t_incl)
@@ -310,9 +314,10 @@ def _fwd_kernel(owner_ref, entries_ref, out_ref, trans, term,
     def _():
         for i in range(s):
             out_ref[i, O_T, :] = trans[:, 0]
-            # Skipped chunks (saturated single-tile, or unused): every
-            # pixel's termination state is the carried flag.
-            out_ref[i, O_DEAD, :] = term[:, 0]
+            if emit_dead:
+                # Skipped chunks (saturated single-tile, or unused):
+                # every pixel's termination state is the carried flag.
+                out_ref[i, O_DEAD, :] = term[:, 0]
 
 
 def _bwd_kernel(owner_ref, entries_ref, grads_ref, dentries_ref,
@@ -435,7 +440,8 @@ def pallas_blend_fwd(packed, owner, *, tiles_x: int, tile: int,
     n_chunks = packed.shape[1] // e
     n_quanta = packed.shape[1] // q
     kernel = functools.partial(_fwd_kernel, tiles_x=tiles_x, tile=tile,
-                               p=p, q=q, s=s)
+                               p=p, q=q, s=s,
+                               emit_dead=cfg.bwd_entries > 0)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(

@@ -69,10 +69,32 @@ def render_cut(state: GaussianState, nodes: jax.Array, boxes: jax.Array,
     """
     if params is None:
         params = state.trainable_dict()
+    xyz, scales, quats, opac, shs, cut = select_cut_gaussians(
+        state, nodes, boxes, camera.cam_center, limit, max_cut,
+        params=params)
+    out = splat_cut_gaussians(xyz, scales, quats, opac, shs, camera,
+                              sh_degree, bg, raster_cfg,
+                              exposure=exposure, mesh=mesh,
+                              band_axis=band_axis)
+    out["cut"] = cut
+    return out
+
+
+def select_cut_gaussians(state: GaussianState, nodes, boxes, cam_center,
+                         limit, max_cut: int, params=None):
+    """Cut selection + LOD interpolation + skybox append -> flat splats.
+
+    Split out of render_cut so interactive rendering can cache the
+    selected flat Gaussians across frames (cut selection depends only on
+    the camera POSITION, so rotations reuse it exactly and small
+    translations within a hysteresis margin reuse it approximately —
+    viewer/service.HierarchyRenderer).
+    """
+    if params is None:
+        params = state.trainable_dict()
     c = state.capacity
     n_sky = state.n_skybox
-    cut = cut_lib.expand_to_size(nodes, boxes, limit, camera.cam_center,
-                                 max_cut)
+    cut = cut_lib.expand_to_size(nodes, boxes, limit, cam_center, max_cut)
     xyz, scales, quats, opac, shs = cut_lib.interpolate_cut(params, cut)
     if n_sky:
         sky = slice(c - n_sky, c)
@@ -83,6 +105,14 @@ def render_cut(state: GaussianState, nodes: jax.Array, boxes: jax.Array,
         feats = jnp.concatenate([params["f_dc"][sky],
                                  params["f_rest"][sky]], axis=1)
         shs = jnp.concatenate([shs, feats])
+    return xyz, scales, quats, opac, shs, cut
+
+
+def splat_cut_gaussians(xyz, scales, quats, opac, shs, camera: Camera,
+                        sh_degree: int, bg, raster_cfg: RasterizeConfig,
+                        exposure=None, mesh=None,
+                        band_axis: Optional[str] = None):
+    """Rasterize pre-selected flat Gaussians (render_cut's second half)."""
     k = (sh_degree + 1) ** 2
     if mesh is not None:
         from ..parallel.band_render import render_banded
@@ -95,7 +125,6 @@ def render_cut(state: GaussianState, nodes: jax.Array, boxes: jax.Array,
     if exposure is not None:
         out["render"] = apply_exposure(out["render"], exposure)
     out["render"] = jnp.clip(out["render"], 0.0, 1.0)
-    out["cut"] = cut
     return out
 
 

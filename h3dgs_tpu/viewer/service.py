@@ -29,14 +29,16 @@ from ..hierarchy.io import read_hier
 from ..model.init import state_from_hierarchy
 from ..ops.rasterize import RasterizeConfig
 from ..scene.camera import Camera, look_at_camera
-from ..train.post_step import render_cut
+from ..train.post_step import (render_cut, select_cut_gaussians,
+                               splat_cut_gaussians)
 
 
 class HierarchyRenderer:
     def __init__(self, hierarchy_path: str, scaffold_dir: str = "",
                  sh_degree: int = 3, budget: int = 1 << 20,
                  raster_cfg: Optional[RasterizeConfig] = None,
-                 white_background: bool = False, n_bands: int = 0):
+                 white_background: bool = False, n_bands: int = 0,
+                 reuse_margin: float = 0.05):
         self.h = read_hier(hierarchy_path)
         self.state, _ = state_from_hierarchy(self.h, scaffold_dir,
                                              max_sh_degree=sh_degree)
@@ -44,8 +46,18 @@ class HierarchyRenderer:
         self.nodes = jnp.asarray(self.h.nodes)
         self.boxes = jnp.asarray(self.h.boxes)
         self.budget = min(budget, self.h.n_nodes)
+        # bwd_entries=0: forward-only rendering skips the backward's
+        # termination bookkeeping inside the blend kernel.
         self.raster_cfg = raster_cfg or RasterizeConfig(
-            max_entries=1 << 21, max_per_tile=4096)
+            max_entries=1 << 21, max_per_tile=4096, bwd_entries=0)
+        # Frame-to-frame cut reuse: the cut depends only on the camera
+        # POSITION, so select with a (1 - margin) finer limit and reuse
+        # it while the camera has moved less than margin * (distance to
+        # the nearest cut node) — every cached node's projected size then
+        # stays <= the requested limit (sizes scale as 1/dist), i.e. the
+        # reused cut is never coarser than a fresh selection. 0 disables.
+        self.reuse_margin = reuse_margin
+        self._cut_cache = None
         self.bg = (jnp.ones(3, jnp.float32) if white_background
                    else jnp.zeros(3, jnp.float32))
         # Pixel-band sharding across local devices for single-frame
@@ -65,20 +77,38 @@ class HierarchyRenderer:
             return jnp.sum(in_cut.astype(jnp.int32))
 
         self._cut_size = cut_size
-        self._render_jit = {}  # one compilation per (H, W)
 
-    def _render_fn(self, height: int, width: int):
+        @jax.jit
+        def select(limit, cam_center):
+            xyz, scales, quats, opac, shs, cut = select_cut_gaussians(
+                self.state, self.nodes, self.boxes, cam_center, limit,
+                max_cut=self.budget)
+            # Min camera->node distance over the cut (reuse bound).
+            m = self.nodes.shape[0]
+            idx = jnp.minimum(cut.indices, m - 1)
+            b = self.boxes[idx]
+            delta = jnp.maximum(
+                jnp.maximum(b[:, 0] - cam_center, cam_center - b[:, 1]),
+                0.0)
+            dist = jnp.linalg.norm(delta, axis=-1)
+            d_min = jnp.min(jnp.where(cut.valid, dist, jnp.inf))
+            return (xyz, scales, quats, opac, shs), cut.count, d_min
+
+        self._select = select
+        self._splat_jit = {}  # one compilation per (H, W)
+
+    def _splat_fn(self, height: int, width: int):
         key = (height, width)
-        if key not in self._render_jit:
+        if key not in self._splat_jit:
             @jax.jit
-            def run(camera, limit):
-                out = render_cut(self.state, self.nodes, self.boxes,
-                                 camera, limit, self.sh_degree, self.bg,
-                                 self.raster_cfg, max_cut=self.budget,
-                                 mesh=self.mesh, band_axis=self.band_axis)
-                return out["render"], out["cut"].count
-            self._render_jit[key] = run
-        return self._render_jit[key]
+            def run(camera, xyz, scales, quats, opac, shs):
+                out = splat_cut_gaussians(
+                    xyz, scales, quats, opac, shs, camera,
+                    self.sh_degree, self.bg, self.raster_cfg,
+                    mesh=self.mesh, band_axis=self.band_axis)
+                return out["render"]
+            self._splat_jit[key] = run
+        return self._splat_jit[key]
 
     def fit_limit(self, camera: Camera, tau: float) -> float:
         """Smallest granularity >= tau whose cut fits the budget (the
@@ -92,14 +122,42 @@ class HierarchyRenderer:
             limit *= 1.5
         return limit
 
+    def _cut_for(self, camera: Camera, tau: float):
+        """Cached-or-fresh flat Gaussians for (camera position, tau).
+
+        A cache hit skips BOTH the budget-fitting sync (fit_limit) and
+        the cut re-selection — on a tunneled backend each saved host
+        round-trip is ~26 ms, which dominates interactive frame time.
+        """
+        center = np.asarray(camera.cam_center, np.float64)
+        cache = self._cut_cache
+        margin = self.reuse_margin
+        if (cache is not None and cache["tau"] == tau
+                and cache["hw"] == (camera.height, camera.width)
+                and np.linalg.norm(center - cache["center"])
+                < margin * cache["d_min"]):
+            return cache["flat"], cache["count"], cache["limit"], True
+        limit = self.fit_limit(camera, tau)
+        sel_limit = limit * (1.0 - margin) if margin > 0 else limit
+        flat, count, d_min = self._select(
+            jnp.asarray(sel_limit, jnp.float32),
+            jnp.asarray(camera.cam_center))
+        if margin > 0:
+            self._cut_cache = {"center": center, "tau": tau,
+                               "hw": (camera.height, camera.width),
+                               "limit": limit, "d_min": float(d_min),
+                               "flat": flat, "count": count}
+        return flat, count, limit, False
+
     def render(self, camera: Camera, tau: float = 3.0):
         """Returns (rgb [H,W,3] uint8, stats dict)."""
-        limit = self.fit_limit(camera, tau)
-        render, count = self._render_fn(camera.height, camera.width)(
-            camera, jnp.asarray(limit, jnp.float32))
+        flat, count, limit, reused = self._cut_for(camera, tau)
+        render = self._splat_fn(camera.height, camera.width)(
+            camera, *flat)
         img = np.asarray(render).clip(0, 1)
         return ((img.transpose(1, 2, 0) * 255).astype(np.uint8),
-                {"cut_size": int(count), "limit": limit})
+                {"cut_size": int(count), "limit": limit,
+                 "cut_reused": reused})
 
 
 def orbit(renderer: HierarchyRenderer, out_dir: str, n_frames: int = 60,

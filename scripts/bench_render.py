@@ -57,8 +57,13 @@ def main():
     nodes = jnp.asarray(h.nodes)
     boxes = jnp.asarray(h.boxes)
 
+    from h3dgs_tpu.train.post_step import (select_cut_gaussians,
+                                           splat_cut_gaussians)
+
     w, hh = 1920, 1080
-    cfg = RasterizeConfig(max_entries=5 << 19, max_per_tile=4096)
+    # bwd_entries=0: forward-only blend (no backward bookkeeping rows).
+    cfg = RasterizeConfig(max_entries=5 << 19, max_per_tile=4096,
+                          bwd_entries=0)
     max_cut = 1 << int(np.ceil(np.log2(h.n_leaves * 1.25)))
     max_cut = min(max_cut, h.n_nodes)
     bg = jnp.zeros(3, jnp.float32)
@@ -75,6 +80,19 @@ def main():
                          max_cut=max_cut)
         return out["render"], out["cut"].count
 
+    @jax.jit
+    def select(cam_leaves, i, limit):
+        cam = jax.tree.map(lambda x: x[i], cam_leaves)
+        xyz, sc, qu, op, sh_, cut = select_cut_gaussians(
+            state, nodes, boxes, cam.cam_center, limit, max_cut)
+        return (xyz, sc, qu, op, sh_), cut.count
+
+    @jax.jit
+    def splat(cam_leaves, i, flat):
+        cam = jax.tree.map(lambda x: x[i], cam_leaves)
+        out = splat_cut_gaussians(*flat, cam, 3, bg, cfg)
+        return out["render"]
+
     for tau in (0.0, 3.0, 6.0, 15.0):
         limit = cut_lib.pixel_limit(tau, float(cams[0].tanfovx), w)
         img, count = frame(cam_stack, 0, jnp.float32(limit))
@@ -87,8 +105,22 @@ def main():
             acc.append(img)
         float(sum(jnp.sum(a) for a in acc))
         dt = (time.perf_counter() - t0) / iters
-        print(f"tau={tau:5.1f}: cut={int(count):7d}  {dt * 1e3:7.2f} ms "
-              f"({1.0 / dt:5.2f} fps at 1080p)")
+
+        # Cached-cut path (viewer/service cut reuse): splat only.
+        flat, count_s = select(cam_stack, 0, jnp.float32(limit))
+        float(jnp.sum(flat[0]))
+        img = splat(cam_stack, 0, flat)
+        float(jnp.sum(img))
+        t0 = time.perf_counter()
+        acc = []
+        for i in range(iters):
+            acc.append(splat(cam_stack, i % 16, flat))
+        float(sum(jnp.sum(a) for a in acc))
+        dt_s = (time.perf_counter() - t0) / iters
+        print(f"tau={tau:5.1f}: cut={int(count):7d}  "
+              f"full {dt * 1e3:7.2f} ms ({1.0 / dt:5.2f} fps)  "
+              f"cached-cut {dt_s * 1e3:7.2f} ms ({1.0 / dt_s:5.2f} fps) "
+              f"at 1080p")
 
 
 if __name__ == "__main__":

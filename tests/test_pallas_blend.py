@@ -179,7 +179,8 @@ def test_bwd_truncation_drops_quanta():
     tiles_x = -(-cam.width // 16)
     chunk_out = pallas_blend_fwd(
         packed, bins.owner, tiles_x=tiles_x, tile=16,
-        cfg=PallasBlendConfig(chunk_e=512, quantum=128, interpret=True))
+        cfg=PallasBlendConfig(chunk_e=512, quantum=128, interpret=True,
+                              bwd_entries=512))
     q_dead = np.asarray(jnp.min(chunk_out[:, O_DEAD, :], axis=1))
     owner = np.asarray(bins.owner)
     same_prev = np.concatenate([[False], owner[1:] == owner[:-1]])

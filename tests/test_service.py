@@ -42,3 +42,62 @@ def test_budgeted_rendering(tmp_path):
     err = np.abs(img_big.astype(np.float32)
                  - img_small.astype(np.float32)).mean() / 255.0
     assert err < 0.1, err
+
+
+def test_cut_reuse_across_frames(tmp_path):
+    """Frame-to-frame cut caching: rotating in place or moving within the
+    hysteresis bound reuses the cached cut (no re-select sync); moving
+    far re-selects. Reused frames stay close to fresh ones."""
+    n = 150
+    means, scales, quats, opac, shs = random_scene(n, 2, sh_degree=1)
+    h = tree_lib.build_hierarchy(means, shs, opac, np.log(scales), quats)
+    path = os.path.join(tmp_path, "merged.hier")
+    write_hier(path, h)
+
+    def cam_at(eye):
+        return look_at_camera(eye=eye, target=(0, 0, 0), fovx=1.1,
+                              width=64, height=48)
+
+    r = HierarchyRenderer(path, budget=h.n_nodes, sh_degree=1,
+                          raster_cfg=CFG, reuse_margin=0.05)
+    img0, s0 = r.render(cam_at((0, -0.5, -18.0)), tau=3.0)
+    assert not s0["cut_reused"]
+    # Same position, different orientation: exact reuse.
+    cam_rot = look_at_camera(eye=(0, -0.5, -18.0), target=(0.5, 0, 0),
+                             fovx=1.1, width=64, height=48)
+    img1, s1 = r.render(cam_rot, tau=3.0)
+    assert s1["cut_reused"]
+    # Tiny translation (<< margin * distance-to-scene ~ 0.05*17): reuse.
+    img2, s2 = r.render(cam_at((0.02, -0.5, -18.0)), tau=3.0)
+    assert s2["cut_reused"]
+    # Large translation: re-select.
+    img3, s3 = r.render(cam_at((0, -0.5, -9.0)), tau=3.0)
+    assert not s3["cut_reused"]
+
+    # Reused frame quality: fresh renderer at the shifted pose agrees.
+    r_fresh = HierarchyRenderer(path, budget=h.n_nodes, sh_degree=1,
+                                raster_cfg=CFG, reuse_margin=0.0)
+    img2f, s2f = r_fresh.render(cam_at((0.02, -0.5, -18.0)), tau=3.0)
+    assert not s2f["cut_reused"]
+    err = np.abs(img2.astype(np.float32)
+                 - img2f.astype(np.float32)).mean() / 255.0
+    assert err < 0.02, err
+
+
+def test_reuse_margin_never_coarser(tmp_path):
+    """The hysteresis selection (limit * (1-margin)) must produce a cut at
+    least as fine as the exact one: cached cut_size >= exact cut_size."""
+    n = 150
+    means, scales, quats, opac, shs = random_scene(n, 4, sh_degree=1)
+    h = tree_lib.build_hierarchy(means, shs, opac, np.log(scales), quats)
+    path = os.path.join(tmp_path, "merged.hier")
+    write_hier(path, h)
+    cam = look_at_camera(eye=(0, -0.5, -30.0), target=(0, 0, 0), fovx=1.1,
+                         width=64, height=48)
+    r_m = HierarchyRenderer(path, budget=h.n_nodes, sh_degree=1,
+                            raster_cfg=CFG, reuse_margin=0.05)
+    r_0 = HierarchyRenderer(path, budget=h.n_nodes, sh_degree=1,
+                            raster_cfg=CFG, reuse_margin=0.0)
+    _, sm = r_m.render(cam, tau=6.0)
+    _, s0 = r_0.render(cam, tau=6.0)
+    assert sm["cut_size"] >= s0["cut_size"]
