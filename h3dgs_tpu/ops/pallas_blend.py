@@ -104,6 +104,14 @@ class PallasBlendConfig(NamedTuple):
     quantum: int = 128     # per-tile alignment unit
     interpret: bool = False
     bwd_entries: int = 0   # 0 = disabled; else multiple of chunk_e
+    # Transmittance recurrence implementation:
+    #   "mxu"  — log(om) -> segmented triangular-matmul prefix -> exp
+    #   "roll" — direct segmented cumprod via lane rolls (Hillis-Steele,
+    #            log2(E) VPU steps); kills two transcendental passes and
+    #            the t_excl division. Same math, better conditioned
+    #            (products of om <= 1 cannot overflow; underflow below
+    #            f32 tiny means the pixel terminated anyway).
+    prefix_mode: str = "mxu"
 
 
 def _pixel_coords(owner, tiles_x: int, tile: int, p: int, dtype):
@@ -199,8 +207,42 @@ def _seg_prefix(x, seg: _Segments):
     return pieces[0] if s == 1 else jnp.concatenate(pieces, axis=1)
 
 
+def _lane_roll(x, k: int):
+    """Shift lanes right by k (lane i reads lane i-k; wraparound is
+    masked by callers). jnp.roll lowers to the same Mosaic roll op."""
+    return jnp.roll(x, k, axis=1)
+
+
+def _seg_cumprod(om, seg: _Segments):
+    """Segmented inclusive cumprod along lanes (Hillis-Steele).
+
+    Group ids are monotone non-decreasing along the stream, so
+    bid[i] == bid[i-k] guarantees every lane between belongs to the same
+    segment — the standard sufficient merge condition for segmented scans
+    over contiguous runs."""
+    e_width = om.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, e_width), 1)
+    x = om
+    bid = seg.bid_lane
+    k = 1
+    while k < e_width:
+        valid = (lane >= k) & (bid == _lane_roll(bid, k))
+        x = x * jnp.where(valid, _lane_roll(x, k), 1.0)
+        k *= 2
+    return x
+
+
+def _seg_shift_fill1(x, seg: _Segments):
+    """Shift right one lane within each segment; segment-first lanes
+    get 1.0 (exclusive-from-inclusive cumprod)."""
+    e_width = x.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, e_width), 1)
+    first = (lane == 0) | (seg.bid_lane != _lane_roll(seg.bid_lane, 1))
+    return jnp.where(first, 1.0, _lane_roll(x, 1))
+
+
 def _seg_recurrence(e, seg: _Segments, trans, term, tiles_x: int,
-                    tile: int, p: int):
+                    tile: int, p: int, prefix_mode: str = "mxu"):
     """Segmented transmittance recurrence for one chunk.
 
     Groups of equal-owner quanta share one running transmittance; the
@@ -215,11 +257,16 @@ def _seg_recurrence(e, seg: _Segments, trans, term, tiles_x: int,
     alpha, ok, om, dx, dy, alpha_raw = _alpha_terms(e, px, py)
     t_carry = trans[:, 0:1]                              # [P,1]
     term_carry = term[:, 0:1]
-    cum = _seg_prefix(jnp.log(om), seg)
     t_base = jnp.where(seg.in_carry, t_carry, 1.0)       # [P,E]
     term_base = jnp.where(seg.in_carry, term_carry, 0.0)
-    t_incl = t_base * jnp.exp(cum)
-    t_excl = t_incl / om                                 # om >= 0.01
+    if prefix_mode == "roll":
+        incl = _seg_cumprod(om, seg)
+        t_incl = t_base * incl
+        t_excl = t_base * _seg_shift_fill1(incl, seg)
+    else:
+        cum = _seg_prefix(jnp.log(om), seg)
+        t_incl = t_base * jnp.exp(cum)
+        t_excl = t_incl / om                             # om >= 0.01
     live = (term_base == 0.0) & (t_incl >= TRANSMITTANCE_EPS)
     contrib = jnp.where(live, alpha * t_excl, 0.0)       # [P,E]
     return (alpha, ok, dx, dy, alpha_raw, t_excl, live, contrib,
@@ -256,7 +303,7 @@ def _chunk_owners(owner_ref, c, s: int):
 
 def _fwd_kernel(owner_ref, entries_ref, out_ref, trans, term,
                 *, tiles_x: int, tile: int, p: int, q: int, s: int,
-                emit_dead: bool = True):
+                emit_dead: bool = True, prefix_mode: str = "mxu"):
     c = pl.program_id(0)
     owners, first = _chunk_owners(owner_ref, c, s)
 
@@ -284,7 +331,8 @@ def _fwd_kernel(owner_ref, entries_ref, out_ref, trans, term,
     def _():
         (_alpha, _ok, _dx, _dy, _raw, _t_excl, live, contrib,
          t_incl, t_carry, term_carry) = _seg_recurrence(
-            e, seg, trans, term, tiles_x, tile, p)
+            e, seg, trans, term, tiles_x, tile, p,
+            prefix_mode=prefix_mode)
         for i in range(s):
             out_ref[i, O_R:O_D + 1, :] = jax.lax.dot_general(
                 _attr4(e), jnp.where(seg.masks[i], contrib, 0.0),
@@ -322,7 +370,7 @@ def _fwd_kernel(owner_ref, entries_ref, out_ref, trans, term,
 
 def _bwd_kernel(owner_ref, entries_ref, grads_ref, dentries_ref,
                 trans, term, pre, *, tiles_x: int, tile: int, p: int,
-                q: int, s: int):
+                q: int, s: int, prefix_mode: str = "mxu"):
     """Per-entry gradients.
 
     grads_ref: [S, N_OUT, P] per-quantum gathered cotangents — rows 0-3
@@ -352,7 +400,8 @@ def _bwd_kernel(owner_ref, entries_ref, grads_ref, dentries_ref,
     def _():
         (alpha, ok, dx, dy, alpha_raw, t_excl, live, contrib,
          t_incl, t_carry, term_carry) = _seg_recurrence(
-            e, seg, trans, term, tiles_x, tile, p)
+            e, seg, trans, term, tiles_x, tile, p,
+            prefix_mode=prefix_mode)
 
         attr = _attr4(e)                                     # [4,E]
         d_attr = jnp.zeros_like(attr)
@@ -441,7 +490,8 @@ def pallas_blend_fwd(packed, owner, *, tiles_x: int, tile: int,
     n_quanta = packed.shape[1] // q
     kernel = functools.partial(_fwd_kernel, tiles_x=tiles_x, tile=tile,
                                p=p, q=q, s=s,
-                               emit_dead=cfg.bwd_entries > 0)
+                               emit_dead=cfg.bwd_entries > 0,
+                               prefix_mode=cfg.prefix_mode)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -470,7 +520,8 @@ def pallas_blend_bwd(packed, owner, grads_quanta, *,
     s = e // q
     n_chunks = packed.shape[1] // e
     kernel = functools.partial(_bwd_kernel, tiles_x=tiles_x, tile=tile,
-                               p=p, q=q, s=s)
+                               p=p, q=q, s=s,
+                               prefix_mode=cfg.prefix_mode)
     quanta_spec = pl.BlockSpec((s, N_OUT, p), lambda c, o: (c, 0, 0),
                                memory_space=pltpu.VMEM)
     entry_spec = pl.BlockSpec((N_ROWS, e), lambda c, o: (0, c),

@@ -56,6 +56,9 @@ class RasterizeConfig(NamedTuple):
     # back in-jit to the full stream, so it is lossless. None = auto
     # (max_entries // 2); 0 = disabled.
     bwd_entries: Optional[int] = None
+    # Pallas transmittance recurrence: "mxu" (log -> triangular-matmul
+    # prefix -> exp) or "roll" (direct segmented cumprod, Hillis-Steele).
+    prefix_mode: str = "mxu"
     # Mesh axis name to shard the per-tile blend over (pixels/tiles are the
     # natural SPMD axis of splatting). Requires an ambient mesh
     # (jax.set_mesh); Gaussian/entry arrays stay replicated and XLA inserts
@@ -247,7 +250,8 @@ def blend_tiles_pallas(proj: ProjectedGaussians, height: int, width: int,
             "quanta unprocessed")
     pcfg = PallasBlendConfig(
         chunk_e=config.chunk_e, quantum=quantum,
-        interpret=not _on_tpu(), bwd_entries=bwd_entries)
+        interpret=not _on_tpu(), bwd_entries=bwd_entries,
+        prefix_mode=config.prefix_mode)
     inv_depth = 1.0 / jnp.maximum(proj.depth, 1e-6)
     n_q_per_tile = -(-bins.tile_count // quantum)
     # Tiles whose aligned run overflows the buffer lost their quanta —

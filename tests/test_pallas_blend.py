@@ -199,3 +199,33 @@ def test_invalid_shape_configs_rejected():
     with pytest.raises(ValueError, match="multiple of"):
         R.rasterize(*params, cam, 1, bg, config=PL_CFG._replace(
             max_entries=1 << 10, chunk_e=256, quantum=96))
+
+
+@pytest.mark.parametrize("scene_fn", ["normal", "saturated"])
+def test_roll_prefix_matches_mxu(scene_fn):
+    """prefix_mode='roll' (segmented Hillis-Steele cumprod) must agree
+    with the MXU log-prefix path on values AND gradients — same math,
+    different factorization (roll avoids the log/exp round trip, so only
+    f32 noise differs)."""
+    if scene_fn == "normal":
+        params, cam, bg = _scene(n=80, seed=9)
+    else:
+        params, cam, bg = _saturated_scene(n=150, seed=11)
+    target = jnp.full((3, cam.height, cam.width), 0.4)
+    base = PL_CFG_SEG4._replace(max_entries=1 << 12)
+
+    def run(cfg):
+        def loss(p):
+            out = R.rasterize(*p, cam, 1, bg, config=cfg)
+            return (photometric_loss(out["render"], target)
+                    + 0.1 * jnp.mean(out["final_transmittance"]))
+        out = R.rasterize(*params, cam, 1, bg, config=cfg)
+        return out["render"], jax.grad(loss)(params)
+
+    img_m, g_m = run(base._replace(prefix_mode="mxu"))
+    img_r, g_r = run(base._replace(prefix_mode="roll"))
+    np.testing.assert_allclose(np.asarray(img_r), np.asarray(img_m),
+                               atol=2e-5, rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(g_r), jax.tree.leaves(g_m)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=5e-3)
