@@ -17,3 +17,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compilation cache: most of the suite's wall-clock is
+# compile time for parametrized kernel variants, identical between runs.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/h3dgs_jax_test_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

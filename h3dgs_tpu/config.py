@@ -104,6 +104,11 @@ class RuntimeConfig:
     # Sharding: number of devices for pixel-band sharding (0 = all local).
     n_devices: int = 1
     mesh_axis: str = "tile"
+    # Backward termination-truncation budget (ops/rasterize bwd_entries):
+    # -1 = auto (half the entry budget), 0 = disabled, else slot count.
+    bwd_entries: int = -1
+    # Pallas transmittance recurrence: "mxu" or "roll" (see pallas_blend).
+    prefix_mode: str = "mxu"
     # In-step view data parallelism: shard a batch of views over this many
     # devices (parallel/step.make_dp_train_step); 1 = single-device loop.
     data_devices: int = 1

@@ -35,7 +35,10 @@ def raster_config(cfg: FullConfig) -> RasterizeConfig:
     return RasterizeConfig(tile=r.tile, max_entries=max_entries,
                            max_per_tile=r.max_per_tile,
                            chunk=r.blend_chunk, chunk_e=r.chunk_e,
-                           quantum=r.quantum)
+                           quantum=r.quantum,
+                           bwd_entries=(None if r.bwd_entries < 0
+                                        else r.bwd_entries),
+                           prefix_mode=r.prefix_mode)
 
 
 def _entry_bucket(n_dup: int, floor: int, cap: int) -> int:

@@ -49,7 +49,10 @@ def test_pallas_forward_matches_xla(seed, pl_cfg):
                                atol=2e-5, rtol=1e-4)
 
 
-@pytest.mark.parametrize("pl_cfg", [PL_CFG, PL_CFG_SEG, PL_CFG_SEG4])
+@pytest.mark.parametrize("pl_cfg", [
+    pytest.param(PL_CFG, marks=pytest.mark.slow),
+    PL_CFG_SEG,
+    pytest.param(PL_CFG_SEG4, marks=pytest.mark.slow)])
 def test_pallas_gradients_match_xla(pl_cfg):
     params, cam, bg = _scene(seed=1)
     target = jnp.full((3, 32, 48), 0.4)
@@ -94,7 +97,8 @@ def test_pallas_screenspace_grads():
 
 # Budgets above the raw duplicate count (393) but below the aligned
 # need (768): pure aligned-stream overflow, including straddles.
-@pytest.mark.parametrize("budget", [512, 640])
+@pytest.mark.parametrize("budget", [
+    pytest.param(512, marks=pytest.mark.slow), 640])
 def test_aligned_overflow_accounting(budget):
     """When the chunk-padded aligned stream exceeds max_entries, the need
     is reported via n_duplicates and overflowed tiles degrade to clean
@@ -136,7 +140,8 @@ def _saturated_scene(n=300, seed=7):
             jnp.asarray(opac), jnp.asarray(shs)), cam, bg
 
 
-@pytest.mark.parametrize("bwd_entries", [None, 1 << 11, 512])
+@pytest.mark.parametrize("bwd_entries", [
+    pytest.param(None, marks=pytest.mark.slow), 1 << 11, 512])
 def test_bwd_truncation_matches_full(bwd_entries):
     """Termination-truncated backward == full backward, bit-for-bit.
 
@@ -201,7 +206,8 @@ def test_invalid_shape_configs_rejected():
             max_entries=1 << 10, chunk_e=256, quantum=96))
 
 
-@pytest.mark.parametrize("scene_fn", ["normal", "saturated"])
+@pytest.mark.parametrize("scene_fn", [
+    "normal", pytest.param("saturated", marks=pytest.mark.slow)])
 def test_roll_prefix_matches_mxu(scene_fn):
     """prefix_mode='roll' (segmented Hillis-Steele cumprod) must agree
     with the MXU log-prefix path on values AND gradients — same math,
@@ -209,10 +215,11 @@ def test_roll_prefix_matches_mxu(scene_fn):
     f32 noise differs)."""
     if scene_fn == "normal":
         params, cam, bg = _scene(n=80, seed=9)
+        base = PL_CFG_SEG._replace(max_entries=1 << 12)
     else:
         params, cam, bg = _saturated_scene(n=150, seed=11)
+        base = PL_CFG_SEG4._replace(max_entries=1 << 12)
     target = jnp.full((3, cam.height, cam.width), 0.4)
-    base = PL_CFG_SEG4._replace(max_entries=1 << 12)
 
     def run(cfg):
         def loss(p):

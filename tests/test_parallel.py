@@ -99,6 +99,7 @@ def test_data_sharded_batch_is_distributed():
     assert len(xs.sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_banded_render_matches_single_device():
     """Pixel-band sharded rendering == full-frame render (tile-aligned
     bands reproduce the exact per-tile entry lists)."""
