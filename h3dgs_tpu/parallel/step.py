@@ -321,3 +321,108 @@ def make_dp_train_step(opt_cfg: OptimizationConfig,
             n_duplicates=n_dup, n_truncated=n_trunc)
 
     return step
+
+
+def make_dp_post_step(opt_cfg: OptimizationConfig,
+                      raster_cfg: RasterizeConfig, max_cut: int, mesh,
+                      skybox_locked: bool = True,
+                      use_exposure: bool = True):
+    """Data-parallel hierarchy post-optimization step (shard_map).
+
+    The dp counterpart of train/post_step.make_post_train_step: each
+    device scans its shard of the view batch through the differentiable
+    cut render (each view carries its own sampled granularity limit and
+    pretrained exposure row), gradients are psum'd over the data axis,
+    then anchor/skybox locking and the dense Adam update run replicated —
+    the same update rule as the single-device step on the averaged batch
+    gradient.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ..train.post_step import PostStepOutput, render_cut
+    from .sharding import DATA_AXIS
+
+    def lr_dict(iteration):
+        return {
+            "xyz": schedules.expon_lr(
+                iteration, opt_cfg.position_lr_init,
+                opt_cfg.position_lr_final,
+                lr_delay_mult=opt_cfg.position_lr_delay_mult,
+                max_steps=opt_cfg.position_lr_max_steps),
+            "f_dc": opt_cfg.feature_lr,
+            "f_rest": opt_cfg.feature_lr / 20.0,
+            "opacity": opt_cfg.opacity_lr,
+            "scaling": opt_cfg.scaling_lr,
+            "rotation": opt_cfg.rotation_lr,
+        }
+
+    @functools.partial(jax.jit, static_argnames=("sh_degree",),
+                       donate_argnames=("state", "opt"))
+    def step(state: GaussianState, opt: adam_lib.AdamState,
+             batch, nodes: jax.Array, boxes: jax.Array,
+             anchor_mask: jax.Array, exposure_rows: jax.Array,
+             limits: jax.Array, iteration: jax.Array, bg: jax.Array,
+             spatial_lr_scale: jax.Array, sh_degree: int):
+        from ..train.step import decode_view
+        batch = decode_view(batch)
+        n_total = batch.gt_image.shape[0]
+
+        def view_loss(params, view, exp_row, limit):
+            out = render_cut(state, nodes, boxes, view.camera, limit,
+                             sh_degree, bg, raster_cfg, max_cut,
+                             exposure=exp_row if use_exposure else None,
+                             params=params)
+            image = out["render"] * view.alpha_mask
+            photo = loss_lib.photometric_loss(image, view.gt_image,
+                                              opt_cfg.lambda_dssim)
+            return photo, (out["cut"].count, out["visibility_filter"])
+
+        def local_grads(params, batch, exp_rows, lims):
+            def body(carry, xs):
+                g_acc, photo_acc, cut_max = carry
+                view, exp_row, limit = xs
+                (photo, (cut_size, _vis)), g_p = jax.value_and_grad(
+                    view_loss, has_aux=True)(params, view, exp_row, limit)
+                g_acc = jax.tree.map(jnp.add, g_acc, g_p)
+                return (g_acc, photo_acc + photo,
+                        jnp.maximum(cut_max, cut_size)), None
+
+            zero = (jax.tree.map(jnp.zeros_like, params), jnp.zeros(()),
+                    jnp.zeros((), jnp.int32))
+            (g, photo, cut_max), _ = jax.lax.scan(
+                body, zero, (batch, exp_rows, lims))
+            g = jax.lax.psum(jax.tree.map(lambda x: x / n_total, g),
+                             DATA_AXIS)
+            photo = jax.lax.psum(photo, DATA_AXIS) / n_total
+            cut_max = jax.lax.pmax(cut_max, DATA_AXIS)
+            return g, photo, cut_max
+
+        params = state.trainable_dict()
+        batch_spec = jax.tree.map(lambda _: P(DATA_AXIS), batch)
+        g_params, photo, cut_size = jax.shard_map(
+            local_grads, mesh=mesh,
+            in_specs=(P(), batch_spec, P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )(params, batch, exposure_rows, limits)
+
+        locked = anchor_mask
+        if skybox_locked and state.n_skybox:
+            locked = locked | state.locked_rows_mask()
+        for k in g_params:
+            m = locked.reshape((-1,) + (1,) * (g_params[k].ndim - 1))
+            g_params[k] = jnp.where(m, 0.0, g_params[k])
+
+        lrs = lr_dict(iteration)
+        lrs = dict(lrs, xyz=lrs["xyz"] * spatial_lr_scale)
+        all_rows = jnp.ones(state.capacity, bool)
+        new_params, new_opt = adam_lib.sparse_adam_update(
+            params, g_params, opt, lrs, all_rows)
+        new_state = state.replace_trainable(new_params)
+
+        return PostStepOutput(
+            state=new_state, opt=new_opt, photo_loss=photo,
+            cut_size=cut_size,
+            n_visible=jnp.zeros((), jnp.int32))
+
+    return step

@@ -160,6 +160,69 @@ class TrainLog:
         self._pending.clear()
 
 
+@dataclasses.dataclass
+class _DpSetup:
+    """In-step data-parallelism wiring shared by train_flat/train_post.
+
+    VERDICT r1 item 2: shard a batch of views over the mesh's data axis
+    (parallel/step dp steps) — the TPU-slice replacement for the
+    reference's one-chunk-per-GPU SLURM mapping
+    (scripts/full_train.py:162-236). data_devices=1 with views_per_step>1
+    gives single-device gradient accumulation. Multi-host: the mesh spans
+    every host's devices; each host loads only its slice of each step's
+    view window (ViewStream keep_fn over the shared-seed global sequence)
+    and contributes it as local shards of one global batch; artifact
+    writes happen on process 0 only.
+    """
+    use_dp: bool
+    primary: bool
+    n_proc: int
+    views_per_step: int
+    local_views: int
+    keep_fn: object
+    mesh: object
+    batch_sharding: object
+
+    def prefetcher(self, stream):
+        return BatchedPrefetcher(stream, self.local_views,
+                                 self.batch_sharding,
+                                 multihost=self.n_proc > 1)
+
+
+def _dp_setup(cfg: FullConfig) -> _DpSetup:
+    from ..parallel import multihost as mh
+    n_data = max(cfg.runtime.data_devices, 1)
+    views_per_step = cfg.runtime.views_per_step or n_data
+    use_dp = n_data > 1 or views_per_step > 1
+    if views_per_step % n_data:
+        raise ValueError(f"views_per_step ({views_per_step}) must be a "
+                         f"multiple of data_devices ({n_data})")
+    n_proc = jax.process_count()
+    primary = mh.is_primary()
+    keep_fn = None
+    local_views = views_per_step
+    if n_proc > 1:
+        if not use_dp:
+            raise ValueError("multi-host training requires data_devices>1 "
+                             "(the mesh must span all hosts' devices)")
+        if views_per_step % n_proc:
+            raise ValueError(f"views_per_step ({views_per_step}) must be "
+                             f"a multiple of process_count ({n_proc})")
+        local_views = views_per_step // n_proc
+        pidx = jax.process_index()
+        keep_fn = (lambda pos, _v=views_per_step, _l=local_views,
+                   _p=pidx: (pos % _v) // _l == _p)
+    mesh = batch_sharding = None
+    if use_dp:
+        from ..parallel import sharding as shard_lib
+        mesh = shard_lib.make_mesh(n_data=n_data, n_tile=1)
+        batch_sharding = shard_lib.data_sharded(mesh)
+    return _DpSetup(use_dp=use_dp, primary=primary, n_proc=n_proc,
+                    views_per_step=views_per_step,
+                    local_views=local_views, keep_fn=keep_fn, mesh=mesh,
+                    batch_sharding=batch_sharding)
+
+
 def train_flat(cfg: FullConfig, scene: Scene, coarse: bool = False,
                save_iterations: Optional[List[int]] = None,
                checkpoint_iterations: Optional[List[int]] = None,
@@ -178,42 +241,8 @@ def train_flat(cfg: FullConfig, scene: Scene, coarse: bool = False,
     max_sh = 1 if coarse else cfg.model.sh_degree
     save_iterations = save_iterations or [opt_cfg.iterations]
 
-    # In-step view data parallelism (VERDICT r1 item 2): shard a batch of
-    # views over the mesh's data axis via parallel/step.make_dp_train_step
-    # — the TPU-slice replacement for the reference's one-chunk-per-GPU
-    # SLURM mapping (scripts/full_train.py:162-236). data_devices=1 with
-    # views_per_step>1 gives single-device gradient accumulation.
-    n_data = max(cfg.runtime.data_devices, 1)
-    views_per_step = cfg.runtime.views_per_step or n_data
-    use_dp = n_data > 1 or views_per_step > 1
-    if views_per_step % n_data:
-        raise ValueError(f"views_per_step ({views_per_step}) must be a "
-                         f"multiple of data_devices ({n_data})")
-    # Multi-host: the mesh spans every host's devices; each host loads
-    # only its slice of each step's view window (ViewStream keep_fn over
-    # the shared-seed global sequence) and contributes it as local shards
-    # of one global batch. Artifact writes happen on process 0 only.
-    from ..parallel import multihost as mh
-    n_proc = jax.process_count()
-    primary = mh.is_primary()
-    keep_fn = None
-    local_views = views_per_step
-    if n_proc > 1:
-        if not use_dp:
-            raise ValueError("multi-host training requires data_devices>1 "
-                             "(the mesh must span all hosts' devices)")
-        if views_per_step % n_proc:
-            raise ValueError(f"views_per_step ({views_per_step}) must be "
-                             f"a multiple of process_count ({n_proc})")
-        local_views = views_per_step // n_proc
-        pidx = jax.process_index()
-        keep_fn = (lambda pos, _v=views_per_step, _l=local_views,
-                   _p=pidx: (pos % _v) // _l == _p)
-    if use_dp:
-        from ..parallel import sharding as shard_lib
-        from ..parallel.step import make_dp_train_step
-        mesh = shard_lib.make_mesh(n_data=n_data, n_tile=1)
-        batch_sharding = shard_lib.data_sharded(mesh)
+    dp = _dp_setup(cfg)
+    use_dp, primary = dp.use_dp, dp.primary
 
     step_kwargs = dict(
         use_depth_loss=not coarse,
@@ -226,7 +255,8 @@ def train_flat(cfg: FullConfig, scene: Scene, coarse: bool = False,
 
     def build_step(rc: RasterizeConfig):
         if use_dp:
-            return make_dp_train_step(opt_cfg, rc, mesh, **step_kwargs)
+            from ..parallel.step import make_dp_train_step
+            return make_dp_train_step(opt_cfg, rc, dp.mesh, **step_kwargs)
         return make_train_step(opt_cfg, rc, **step_kwargs)
 
     # Adaptive entry budget: start one bucket down from the cap and follow
@@ -253,12 +283,8 @@ def train_flat(cfg: FullConfig, scene: Scene, coarse: bool = False,
           else jnp.zeros(3, jnp.float32))
     extent = jnp.asarray(scene.cameras_extent, jnp.float32)
     spatial_lr = jnp.asarray(scene.cameras_extent, jnp.float32)
-    stream = scene.train_stream(num_workers=8, keep_fn=keep_fn)
-    if use_dp:
-        prefetch = BatchedPrefetcher(stream, local_views, batch_sharding,
-                                     multihost=n_proc > 1)
-    else:
-        prefetch = DevicePrefetcher(stream)
+    stream = scene.train_stream(num_workers=8, keep_fn=dp.keep_fn)
+    prefetch = dp.prefetcher(stream) if use_dp else DevicePrefetcher(stream)
     rng = jax.random.PRNGKey(0)
     log = TrainLog(t_start=time.time())
     # Device-side running max of duplicate/truncation counts: tracked
@@ -414,11 +440,16 @@ def train_post(cfg: FullConfig, scene: Scene,
     if initial_max_cut > 0:
         max_cut = min(initial_max_cut, h.n_nodes)
 
+    dp = _dp_setup(cfg)
+    use_dp, primary = dp.use_dp, dp.primary
+
     def build_step(mc: int):
-        return make_post_train_step(
-            opt_cfg, r_cfg, mc,
-            skybox_locked=cfg.model.skybox_locked,
-            use_exposure=scene.pretrained_exposures is not None)
+        kw = dict(skybox_locked=cfg.model.skybox_locked,
+                  use_exposure=scene.pretrained_exposures is not None)
+        if use_dp:
+            from ..parallel.step import make_dp_post_step
+            return make_dp_post_step(opt_cfg, r_cfg, mc, dp.mesh, **kw)
+        return make_post_train_step(opt_cfg, r_cfg, mc, **kw)
 
     step = build_step(max_cut)
 
@@ -435,24 +466,42 @@ def train_post(cfg: FullConfig, scene: Scene,
     bg = (jnp.ones(3, jnp.float32) if cfg.model.white_background
           else jnp.zeros(3, jnp.float32))
     spatial_lr = jnp.asarray(scene.cameras_extent, jnp.float32)
-    stream = scene.train_stream(num_workers=8)
-    prefetch = DevicePrefetcher(stream)
+    stream = scene.train_stream(num_workers=8, keep_fn=dp.keep_fn)
+    prefetch = dp.prefetcher(stream) if use_dp else DevicePrefetcher(stream)
     rng = jax.random.PRNGKey(0)
     log = TrainLog(t_start=time.time())
     pre_exp = scene.pretrained_exposures or {}
 
+    def exp_for(host_view):
+        name = scene.image_names[int(host_view.image_idx)]
+        return pre_exp.get(name, np.eye(3, 4, dtype=np.float32))
+
     try:
         for it in range(first_iter + 1, opt_cfg.iterations + 1):
             batch_host, batch = next(prefetch)
-            name = scene.image_names[int(batch_host.image_idx)]
-            exp_row = jnp.asarray(pre_exp.get(
-                name, np.eye(3, 4, dtype=np.float32)))
             rng, k = jax.random.split(rng)
-            limit = sample_limit(k)
             sh_deg = min(it // 1000, max_sh)
-            out = step(state, opt, batch, nodes, boxes, amask, exp_row,
-                       limit, jnp.asarray(float(it)), bg, spatial_lr,
-                       sh_deg)
+            if use_dp:
+                # Per-view pretrained exposure rows + granularity samples,
+                # sharded alongside the view batch.
+                exp_rows = jnp.asarray(
+                    np.stack([exp_for(hv) for hv in batch_host]))
+                keys = jax.random.split(k, len(batch_host))
+                limits = jnp.stack([sample_limit(kk) for kk in keys])
+                if dp.n_proc > 1:
+                    from ..parallel import multihost as mh
+                    exp_rows = mh.global_batch(exp_rows,
+                                               dp.batch_sharding)
+                    limits = mh.global_batch(limits, dp.batch_sharding)
+                out = step(state, opt, batch, nodes, boxes, amask,
+                           exp_rows, limits, jnp.asarray(float(it)), bg,
+                           spatial_lr, sh_deg)
+            else:
+                exp_row = jnp.asarray(exp_for(batch_host))
+                limit = sample_limit(k)
+                out = step(state, opt, batch, nodes, boxes, amask,
+                           exp_row, limit, jnp.asarray(float(it)), bg,
+                           spatial_lr, sh_deg)
             state, opt = out.state, out.opt
             log.update(out.photo_loss, 0.0)
             if it % 50 == 0 or it == opt_cfg.iterations:
@@ -472,15 +521,17 @@ def train_post(cfg: FullConfig, scene: Scene,
                     step = build_step(max_cut)
                 elif cut > max_cut:
                     over = " CUT-OVERFLOW (at n_nodes; cannot grow)"
-                print(f"[{it}/{opt_cfg.iterations}] "
-                      f"loss={log.ema_photo:.5f} cut={cut}{over} "
-                      f"it/s={rate:.2f}", flush=True)
+                if primary:
+                    print(f"[{it}/{opt_cfg.iterations}] "
+                          f"loss={log.ema_photo:.5f} cut={cut}{over} "
+                          f"it/s={rate:.2f}", flush=True)
                 if progress_cb:
                     progress_cb(it, log)
-            if it in save_iterations:
+            if it in save_iterations and primary:
                 path = scene.save(it, state, hierarchy=h)
                 print(f"[{it}] saved -> {path}", flush=True)
-            if checkpoint_iterations and it in checkpoint_iterations:
+            if checkpoint_iterations and it in checkpoint_iterations \
+                    and primary:
                 zero_exp = jnp.zeros((1, 3, 4))
                 ckpt_lib.save_flat(
                     os.path.join(scene.model_path, f"chkpnt{it}.npz"),

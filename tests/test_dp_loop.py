@@ -62,3 +62,109 @@ def test_train_flat_dp_device_count_invariant(toy_path, tmp_path):
 def test_views_per_step_divisibility(toy_path, tmp_path):
     with pytest.raises(ValueError, match="multiple of data_devices"):
         _train(toy_path, tmp_path, "bad", 4, 6, iters=1)
+
+
+@pytest.mark.slow
+def test_dp_post_step_matches_single():
+    """make_dp_post_step with one view on a 1-device mesh must reproduce
+    make_post_train_step exactly (same grads, same dense Adam); on a
+    2-device mesh with the batch split it must match the 1-device result
+    up to psum reduction order."""
+    import jax
+    import jax.numpy as jnp
+
+    from h3dgs_tpu.config import OptimizationConfig
+    from h3dgs_tpu.ops import adam as adam_lib
+    from h3dgs_tpu.ops.rasterize import RasterizeConfig
+    from h3dgs_tpu.parallel import sharding as shard_lib
+    from h3dgs_tpu.parallel.step import make_dp_post_step
+    from h3dgs_tpu.train.post_step import make_post_train_step
+
+    from .test_post_training import _batch, _setup
+
+    h, state, amask, cams, gts, bg = _setup()
+    nodes = jnp.asarray(h.nodes)
+    boxes = jnp.asarray(h.boxes)
+    amask = jnp.asarray(amask)
+    r_cfg = RasterizeConfig(max_entries=1 << 14, max_per_tile=256,
+                            chunk=16)
+    opt_cfg = OptimizationConfig(iterations=10)
+    max_cut = h.n_nodes
+    kw = dict(skybox_locked=False, use_exposure=True)
+    exp_row = jnp.eye(3, 4)
+    limit = jnp.asarray(0.01)
+
+    def run_single(view):
+        st = jax.tree.map(jnp.copy, state)
+        step = make_post_train_step(opt_cfg, r_cfg, max_cut, **kw)
+        out = step(st, adam_lib.init(st.trainable_dict()), view, nodes,
+                   boxes, amask, exp_row, limit, jnp.asarray(1.0), bg,
+                   jnp.asarray(1.0), 1)
+        return out
+
+    def run_dp(views, n_dev):
+        st = jax.tree.map(jnp.copy, state)
+        mesh = shard_lib.make_mesh(n_data=n_dev, n_tile=1)
+        step = make_dp_post_step(opt_cfg, r_cfg, max_cut, mesh, **kw)
+        b = len(views)
+        batch = jax.tree.map(lambda *xs: jnp.stack(xs), *views)
+        exp_rows = jnp.tile(exp_row[None], (b, 1, 1))
+        limits = jnp.full((b,), 0.01)
+        out = step(st, adam_lib.init(st.trainable_dict()), batch, nodes,
+                   boxes, amask, exp_rows, limits, jnp.asarray(1.0), bg,
+                   jnp.asarray(1.0), 1)
+        return out
+
+    views = [_batch(cams[i], gts[i]) for i in range(2)]
+    out_s = run_single(views[0])
+    out_1 = run_dp(views[:1], 1)
+    np.testing.assert_allclose(np.asarray(out_1.state.xyz),
+                               np.asarray(out_s.state.xyz),
+                               rtol=1e-6, atol=1e-7)
+    assert int(out_1.cut_size) == int(out_s.cut_size)
+
+    out_d1 = run_dp(views, 1)
+    out_d2 = run_dp(views, 2)
+    np.testing.assert_allclose(np.asarray(out_d2.state.xyz),
+                               np.asarray(out_d1.state.xyz),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(out_d2.photo_loss),
+                               float(out_d1.photo_loss), rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_train_post_dp_loop(toy_path, tmp_path):
+    """CLI-level dp post-training: train_post with data_devices=2 runs the
+    shard_map step through the real loop (batched prefetch, per-view
+    exposure rows + limit samples) and converges finitely."""
+    import os
+
+    from h3dgs_tpu.cli.hierarchy_creator import create_hierarchy
+    from h3dgs_tpu.io.meta import write_vec
+    from h3dgs_tpu.train.loop import train_post
+
+    model_dir = str(tmp_path / "out_post_dp")
+    st, _ = _train(toy_path, tmp_path, "flat_for_post", 1, 1, iters=40)
+    # _train saved point_cloud at iteration_40 under out_flat_for_post.
+    pc = str(tmp_path / "out_flat_for_post" /
+             "point_cloud/iteration_40/point_cloud.ply")
+    assert os.path.exists(pc)
+    chunk_dir = str(tmp_path / "chunk")
+    os.makedirs(chunk_dir, exist_ok=True)
+    write_vec(os.path.join(chunk_dir, "center.txt"), [0, 0, 0])
+    write_vec(os.path.join(chunk_dir, "extent.txt"), [100, 100, 100])
+    os.makedirs(model_dir, exist_ok=True)
+    hier = create_hierarchy(pc, chunk_dir, model_dir)
+
+    cfg = FullConfig(
+        model=ModelConfig(source_path=toy_path, model_path=model_dir,
+                          hierarchy=hier, resolution=1),
+        opt=OptimizationConfig(iterations=6, position_lr_max_steps=6),
+        runtime=dataclasses.replace(RUNTIME, data_devices=2,
+                                    views_per_step=2))
+    scene = Scene(cfg.model, cfg.runtime, create_from_hier=True)
+    losses = []
+    train_post(cfg, scene,
+               progress_cb=lambda it, log: losses.append(log.ema_photo))
+    assert losses and np.isfinite(losses[-1])
+    assert os.path.exists(hier + "_opt")
