@@ -101,9 +101,6 @@ class RuntimeConfig:
     grow_capacity: bool = True
     # Upper bound for capacity growth (0 = unlimited).
     max_capacity: int = 0
-    # Sharding: number of devices for pixel-band sharding (0 = all local).
-    n_devices: int = 1
-    mesh_axis: str = "tile"
     # Backward termination-truncation budget (ops/rasterize bwd_entries):
     # -1 = auto (half the entry budget), 0 = disabled, else slot count.
     bwd_entries: int = -1

@@ -1,0 +1,122 @@
+"""Same-run A/B of the round-2 kernel levers on the real chip.
+
+Times the bench.py workload (1080p fwd+bwd, 200k Gaussians) across:
+  - bwd_entries: 0 (off) vs auto (D/2) — backward termination truncation
+  - prefix_mode: mxu vs roll — transmittance recurrence factorization
+  - chunk_e/quantum re-sweep at the winning combo
+
+Axon-safe timing (perturb an input per iteration, one sync at the end).
+Only same-run comparisons are trustworthy (tunnel varies ±10% between
+sessions). Run: /opt/venv/bin/python scripts/ab_r02.py [iters]
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+WIDTH, HEIGHT = 1920, 1080
+N_GAUSS = 200_000
+
+
+def scene():
+    import jax.numpy as jnp
+
+    from h3dgs_tpu.scene.camera import look_at_camera
+    from h3dgs_tpu.utils.sh import rgb_to_sh
+
+    rng = np.random.default_rng(0)
+    uv = rng.uniform(-3, 3, (N_GAUSS, 2)).astype(np.float32)
+    zs = (0.4 * np.sin(uv[:, 0] * 2.1) * np.cos(uv[:, 1] * 1.7)
+          + 0.02 * rng.normal(size=N_GAUSS)).astype(np.float32)
+    means = np.stack([uv[:, 0], zs, uv[:, 1]], axis=1)
+    scales = np.exp(rng.uniform(np.log(0.008), np.log(0.02),
+                                (N_GAUSS, 3))).astype(np.float32)
+    quats = rng.normal(size=(N_GAUSS, 4)).astype(np.float32)
+    opac = rng.uniform(0.3, 0.95, N_GAUSS).astype(np.float32)
+    shs = np.zeros((N_GAUSS, 16, 3), np.float32)
+    shs[:, 0] = rgb_to_sh(rng.uniform(0.1, 0.9, (N_GAUSS, 3)))
+    cam = look_at_camera(eye=(0.0, -1.5, -5.5), target=(0, 0, 0),
+                         fovx=1.2, width=WIDTH, height=HEIGHT)
+    return (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+            jnp.asarray(opac), jnp.asarray(shs)), cam
+
+
+def time_cfg(params, cam, cfg, iters, label):
+    import jax
+    import jax.numpy as jnp
+
+    from h3dgs_tpu.ops.rasterize import rasterize
+    from h3dgs_tpu.utils.losses import photometric_loss
+
+    bg = jnp.zeros(3, jnp.float32)
+    target = jnp.full((3, HEIGHT, WIDTH), 0.4, jnp.float32)
+
+    @jax.jit
+    def step(p, eps):
+        means, scales, quats, opac, shs = p
+        means = means + eps  # perturb so the tunnel cannot content-cache
+
+        def loss(m):
+            out = rasterize(m, scales, quats, opac, shs, cam, 3, bg,
+                            config=cfg)
+            return photometric_loss(out["render"], target)
+
+        l, g = jax.value_and_grad(loss)(means)
+        return l + jnp.sum(g * 1e-12)
+
+    acc = step(params, jnp.float32(0.0))
+    acc.block_until_ready()
+    t0 = time.perf_counter()
+    accs = []
+    for i in range(iters):
+        accs.append(step(params, jnp.float32(1e-7 * (i + 1))))
+    float(sum(a for a in accs))
+    dt = (time.perf_counter() - t0) / iters
+    mpix = WIDTH * HEIGHT / dt / 1e6
+    print(f"{label:48s} {dt * 1e3:8.2f} ms  {mpix:7.2f} Mpix/s",
+          flush=True)
+    return dt
+
+
+def main(iters=8):
+    import jax
+
+    from h3dgs_tpu.ops.rasterize import RasterizeConfig
+
+    print("backend:", jax.devices()[0].device_kind, flush=True)
+    params, cam = scene()
+    base = RasterizeConfig(max_entries=1 << 21, max_per_tile=4096,
+                           chunk_e=512, quantum=128)
+
+    results = {}
+    variants = [
+        ("bwd=0 mxu (r1 baseline)",
+         base._replace(bwd_entries=0, prefix_mode="mxu")),
+        ("bwd=auto mxu",
+         base._replace(bwd_entries=None, prefix_mode="mxu")),
+        ("bwd=0 roll",
+         base._replace(bwd_entries=0, prefix_mode="roll")),
+        ("bwd=auto roll",
+         base._replace(bwd_entries=None, prefix_mode="roll")),
+    ]
+    for label, cfg in variants:
+        results[label] = time_cfg(params, cam, cfg, iters, label)
+
+    best_label = min(results, key=results.get)
+    print(f"\nwinner: {best_label}", flush=True)
+    best = dict(variants)[best_label]
+
+    # E/Q re-sweep at the winning flags.
+    for e, q in ((256, 128), (512, 128), (512, 256), (1024, 128)):
+        try:
+            cfg = best._replace(chunk_e=e, quantum=q)
+            time_cfg(params, cam, cfg, iters, f"winner E={e} Q={q}")
+        except Exception as ex:  # e.g. VMEM overflow at E=1024 bwd
+            print(f"E={e} Q={q}: {type(ex).__name__}: {str(ex)[:120]}",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 8)
