@@ -149,3 +149,25 @@ def test_post_cut_overflow_signal_and_growth():
                              bucket)
     assert int(cut_big.count) == true_size
     assert int(jnp.sum(cut_big.valid.astype(jnp.int32))) == true_size
+
+
+def test_checkpoint_roundtrip_after_growth(tmp_path):
+    """A checkpoint written after capacity growth restores at the GROWN
+    capacity even when the resume template has the original (smaller)
+    one — load_flat adopts the checkpoint's arrays wholesale."""
+    from h3dgs_tpu.train import checkpoint as ckpt_lib
+
+    st = _full_state(n=24, capacity=32)
+    opt = adam_lib.init(st.trainable_dict())
+    grown = state_lib.grow_capacity(st, 64)
+    opt_g = adam_lib.grow_rows(opt, 64)
+    exposure = jnp.tile(jnp.eye(3, 4)[None], (3, 1, 1))
+    exp_opt = adam_lib.init({"exposure": exposure})
+    path = str(tmp_path / "chk.npz")
+    ckpt_lib.save_flat(path, grown, opt_g, exposure, exp_opt, 123)
+    st2, opt2, exp2, _eo, it = ckpt_lib.load_flat(path, st)
+    assert st2.capacity == 64
+    assert opt2.mu["xyz"].shape[0] == 64
+    assert it == 123
+    np.testing.assert_array_equal(np.asarray(st2.xyz),
+                                  np.asarray(grown.xyz))
