@@ -26,14 +26,24 @@ import time
 
 import numpy as np
 
+import os
+
 BASELINE_MPIX_S = 45.0
-N_GAUSS = 200_000
-WIDTH, HEIGHT = 1920, 1080
-ITERS = 10
+# Env overrides let CI/smoke runs shrink the workload (same code path).
+N_GAUSS = int(os.environ.get("BENCH_N_GAUSS", 200_000))
+WIDTH = int(os.environ.get("BENCH_WIDTH", 1920))
+HEIGHT = int(os.environ.get("BENCH_HEIGHT", 1080))
+ITERS = int(os.environ.get("BENCH_ITERS", 10))
 
 
 def main():
     import jax
+    # This container's sitecustomize registers the axon TPU plugin; a
+    # plain JAX_PLATFORMS env var does not stop it from dialing the
+    # tunnel. For CPU smoke runs set BENCH_PLATFORM=cpu (config update
+    # must happen before the first computation).
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
     import jax.numpy as jnp
 
     from h3dgs_tpu.ops.rasterize import RasterizeConfig, rasterize
@@ -59,32 +69,63 @@ def main():
     # matching what the adaptive trainer converges to. An undersized
     # budget would silently drop tail tiles (see
     # binning.AlignedBins.aligned_entries).
-    cfg = RasterizeConfig(max_entries=1 << 21, max_per_tile=4096,
-                          chunk_e=512, quantum=128)
+    budget = min(1 << 21, max(1 << 12, N_GAUSS * 16))
+    budget = -(-budget // 512) * 512
+    base = RasterizeConfig(max_entries=budget, max_per_tile=4096,
+                           chunk_e=512, quantum=128)
     bg = jnp.zeros(3, jnp.float32)
     params = (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
               jnp.asarray(opac), jnp.asarray(shs))
     target = jnp.zeros((3, HEIGHT, WIDTH), jnp.float32) + 0.3
 
-    @jax.jit
-    def step(params, target, salt):
-        params = (params[0] + salt,) + params[1:]
+    def make_step(cfg):
+        @jax.jit
+        def step(params, target, salt):
+            params = (params[0] + salt,) + params[1:]
 
-        def loss_fn(p):
-            out = rasterize(*p, cam, 3, bg, config=cfg)
-            return photometric_loss(out["render"], target)
+            def loss_fn(p):
+                out = rasterize(*p, cam, 3, bg, config=cfg)
+                return photometric_loss(out["render"], target)
 
-        grads = jax.grad(loss_fn)(params)
-        return sum(jnp.sum(g) for g in grads)
+            grads = jax.grad(loss_fn)(params)
+            return sum(jnp.sum(g) for g in grads)
+        return step
 
-    # Warm up / compile.
-    float(step(params, target, jnp.float32(0.0)))
+    def timed(step, iters, salt0=0.0):
+        float(step(params, target, jnp.float32(salt0)))  # warm / sync
+        t0 = time.perf_counter()
+        outs = [step(params, target,
+                     jnp.float32(salt0 + (i + 1) * 1e-7))
+                for i in range(iters)]
+        float(outs[-1])   # one device stream: last done => all done
+        return (time.perf_counter() - t0) / iters
 
-    t0 = time.perf_counter()
-    outs = [step(params, target, jnp.float32((i + 1) * 1e-7))
-            for i in range(ITERS)]
-    float(outs[-1])
-    dt = (time.perf_counter() - t0) / ITERS
+    # Self-tuning: the round-2 kernel levers (backward termination
+    # truncation, roll-mode recurrence) are scene-dependent; pick the
+    # fastest combo in-run (same honest timing, compile cached), then
+    # measure the full ITERS with the winner.
+    candidates = {
+        "bwd=0,mxu": base._replace(bwd_entries=0, prefix_mode="mxu"),
+        "bwd=auto,mxu": base._replace(bwd_entries=None, prefix_mode="mxu"),
+        "bwd=0,roll": base._replace(bwd_entries=0, prefix_mode="roll"),
+        "bwd=auto,roll": base._replace(bwd_entries=None,
+                                       prefix_mode="roll"),
+    }
+    import sys
+    trials = {}
+    for name, cfg in candidates.items():
+        try:
+            trials[name] = timed(make_step(cfg), 3, salt0=hash(name) % 97
+                                 * 1e-6)
+            print(f"  {name}: {trials[name] * 1e3:.2f} ms",
+                  file=sys.stderr, flush=True)
+        except Exception as ex:
+            print(f"  {name}: failed ({type(ex).__name__})",
+                  file=sys.stderr, flush=True)
+    best = min(trials, key=trials.get)
+    print(f"  winner: {best}", file=sys.stderr, flush=True)
+
+    dt = timed(make_step(candidates[best]), ITERS, salt0=0.5)
 
     mpix_s = (WIDTH * HEIGHT / 1e6) / dt
     print(json.dumps({
