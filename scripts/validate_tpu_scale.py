@@ -21,7 +21,11 @@ import numpy as np
 
 
 def main(iters: int = 5000):
+    import os
+
     import jax
+    if os.environ.get("VAL_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["VAL_PLATFORM"])
     import jax.numpy as jnp
 
     from h3dgs_tpu.config import OptimizationConfig
@@ -39,7 +43,9 @@ def main(iters: int = 5000):
 
     # --- GT scene: wavy surface, ~150k leaves (bench_render's regime) ---
     rng = np.random.default_rng(0)
-    n_gt = 150_000
+    # Smoke-size overrides (VAL_*) let a CPU run shake out script bugs
+    # before spending chip time; defaults are the real validation regime.
+    n_gt = int(os.environ.get("VAL_N_GT", 150_000))
     uv = rng.uniform(-3, 3, (n_gt, 2)).astype(np.float32)
     zs = (0.4 * np.sin(uv[:, 0] * 2.1) * np.cos(uv[:, 1] * 1.7)
           + 0.02 * rng.normal(size=n_gt)).astype(np.float32)
@@ -53,13 +59,15 @@ def main(iters: int = 5000):
     gt_quat = rng.normal(size=(n_gt, 4)).astype(np.float32)
     gt_quat /= np.linalg.norm(gt_quat, axis=1, keepdims=True)
 
-    w, h = 910, 512
-    n_views, n_test = 36, 4
+    w = int(os.environ.get("VAL_WIDTH", 910))
+    h = int(os.environ.get("VAL_HEIGHT", 512))
+    n_views, n_test = int(os.environ.get("VAL_VIEWS", 36)), 4
     cams = [look_at_camera(eye=(5.5 * np.sin(a), -2.0, -5.5 * np.cos(a)),
                            target=(0, 0, 0), fovx=1.2, width=w, height=h)
             for a in np.linspace(0, 2 * np.pi, n_views, endpoint=False)]
     bg = jnp.zeros(3, jnp.float32)
-    gt_cfg = RasterizeConfig(max_entries=1 << 21, max_per_tile=4096)
+    gt_budget = min(1 << 21, max(1 << 13, n_gt * 16))
+    gt_cfg = RasterizeConfig(max_entries=gt_budget, max_per_tile=4096)
 
     print("rendering GT views...", flush=True)
     t0 = time.time()
@@ -74,10 +82,11 @@ def main(iters: int = 5000):
     print(f"GT render: {time.time() - t0:.1f}s", flush=True)
 
     # --- init: noisy 100k subsample, SfM-like ---
-    sel = rng.choice(n_gt, 100_000, replace=False)
+    n_init = min(int(os.environ.get("VAL_N_INIT", 100_000)), n_gt)
+    sel = rng.choice(n_gt, n_init, replace=False)
     means0 = xyz[sel] + rng.normal(0, 0.02, (len(sel), 3)).astype(np.float32)
     n0 = len(sel)
-    capacity = 1 << 20
+    capacity = int(os.environ.get("VAL_CAPACITY", 1 << 20))
     st = S.from_arrays(
         xyz=means0,
         features_dc=rgb_to_sh(np.full((n0, 1, 3), 0.5, np.float32)),
@@ -90,12 +99,15 @@ def main(iters: int = 5000):
 
     opt_cfg = OptimizationConfig(
         iterations=iters, position_lr_max_steps=iters,
-        densify_from_iter=500, densify_until_iter=int(iters * 0.8),
-        densification_interval=100, opacity_reset_interval=10**9,
+        densify_from_iter=int(os.environ.get("VAL_DENSIFY_FROM", 500)),
+        densify_until_iter=int(iters * 0.8),
+        densification_interval=int(os.environ.get("VAL_DENSIFY_INT", 100)),
+        opacity_reset_interval=10**9,
         densify_grad_threshold=2e-4)
 
-    entry_cap = 1 << 21
-    r_cfg = RasterizeConfig(max_entries=1 << 20, max_per_tile=4096,
+    entry_cap = gt_budget
+    r_cfg = RasterizeConfig(max_entries=max(gt_budget // 2, 1 << 13),
+                            max_per_tile=4096,
                             chunk_e=512, quantum=128)
 
     def build(rc):
@@ -155,13 +167,14 @@ def main(iters: int = 5000):
                 st, opt, k, opt_cfg.densify_grad_threshold, 0.005,
                 extent, opt_cfg.percent_dense)
 
-        if it % 100 == 0 or it == iters:
+        log_int = min(100, max(iters // 4, 1))
+        if it % log_int == 0 or it == iters:
             loss = float(losses[-1])
             n_dup = int(ndup_max)
             ndup_max = jnp.int32(0)
             alive = int(st.n_alive)
             dt = time.time() - t_win
-            it_s = 100.0 / dt if it % 100 == 0 else 0.0
+            it_s = log_int / dt if it % log_int == 0 else 0.0
             t_win = time.time()
             assert np.isfinite(loss), f"non-finite loss at {it}"
             log["iters"].append(it)
@@ -172,7 +185,7 @@ def main(iters: int = 5000):
             log["budget"].append(r_cfg.max_entries)
             log["capacity"].append(st.capacity)
             pe = ""
-            if it % 1000 == 0 or it == iters:
+            if it % max(min(1000, iters), 1) == 0 or it == iters:
                 p = eval_psnr(st)
                 log["psnr"].append({"iter": it, "psnr": round(p, 2)})
                 pe = f" PSNR {p:.2f}"
@@ -198,7 +211,8 @@ def main(iters: int = 5000):
         "median_it_s": float(np.median([x for x in log["it_s"] if x > 0])),
         "log": log,
     }
-    out_path = "/root/repo/VALIDATION_SCALE.json"
+    out_path = os.environ.get("VAL_OUT",
+                              "/root/repo/VALIDATION_SCALE.json")
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps({k: v for k, v in result.items() if k != "log"}))
