@@ -96,3 +96,46 @@ def test_two_process_run_matches_single_process(toy_path, tmp_path):
                                rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(got["opacity"], np.asarray(state.opacity),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_keep_fn_partitions_windows():
+    """The per-process keep_fn must partition every views_per_step window:
+    across processes the union of loaded views == the full shared-seed
+    sequence, with no overlap — including across epoch reshuffles."""
+    from h3dgs_tpu.scene.loader import ViewStream
+
+    class FakeInfo:
+        pass
+
+    n_views, v, n_proc = 7, 4, 2
+    local = v // n_proc
+    loaded = {p: [] for p in range(n_proc)}
+
+    import h3dgs_tpu.scene.loader as loader_mod
+    orig = loader_mod.load_view
+    loader_mod.load_view = (lambda info, res, scale, tte, half, idx: idx)
+    try:
+        for p in range(n_proc):
+            keep = (lambda pos, _p=p: (pos % v) // local == _p)
+            vs = ViewStream([FakeInfo()] * n_views, num_workers=1,
+                            prefetch=1, seed=0, keep_fn=keep)
+            for _ in range(8):   # 8 local views = 4 windows
+                loaded[p].append(next(vs))
+            vs.close()
+
+        # Reference: the unsharded global sequence with the same seed.
+        vs = ViewStream([FakeInfo()] * n_views, num_workers=1, prefetch=1,
+                        seed=0)
+        seq = [next(vs) for _ in range(4 * v)]
+        vs.close()
+    finally:
+        loader_mod.load_view = orig
+    for w in range(4):
+        window = seq[w * v:(w + 1) * v]
+        got = []
+        for p in range(n_proc):
+            got += loaded[p][w * local:(w + 1) * local]
+        assert sorted(got) == sorted(window), (w, got, window)
+        # and the per-process slices are disjoint contiguous halves
+        assert loaded[0][w * local:(w + 1) * local] == window[:local]
+        assert loaded[1][w * local:(w + 1) * local] == window[local:]
