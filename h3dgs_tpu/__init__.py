@@ -20,3 +20,16 @@ Design stance (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("H3DGS_PLATFORM"):
+    # Force the JAX platform before any computation. A plain JAX_PLATFORMS
+    # env var is not enough on hosts whose site hooks register a TPU
+    # plugin eagerly (it still dials the accelerator); the config update
+    # wins as long as it happens before the first trace. Used by tests
+    # and CI to pin subprocess stages (full_train's train/merge children)
+    # to CPU.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["H3DGS_PLATFORM"])
