@@ -101,3 +101,84 @@ def test_reuse_margin_never_coarser(tmp_path):
     _, sm = r_m.render(cam, tau=6.0)
     _, s0 = r_0.render(cam, tau=6.0)
     assert sm["cut_size"] >= s0["cut_size"]
+
+
+def _write_toy_hier(tmp_path, n=120, seed=6):
+    means, scales, quats, opac, shs = random_scene(n, seed, sh_degree=1)
+    h = tree_lib.build_hierarchy(means, shs, opac, np.log(scales), quats)
+    path = os.path.join(tmp_path, "merged.hier")
+    write_hier(path, h)
+    return path, h
+
+
+def test_orbit_writes_frames(tmp_path):
+    """Offline fly-through renders N valid PNG frames."""
+    from PIL import Image
+
+    from h3dgs_tpu.viewer.service import orbit
+
+    path, h = _write_toy_hier(tmp_path)
+    r = HierarchyRenderer(path, budget=h.n_nodes, sh_degree=1,
+                          raster_cfg=CFG)
+    out = os.path.join(tmp_path, "frames")
+    orbit(r, out, n_frames=3, radius=12.0, height=-1.0, tau=3.0,
+          width=64, height_px=48)
+    frames = sorted(os.listdir(out))
+    assert frames == ["frame_0000.png", "frame_0001.png",
+                      "frame_0002.png"]
+    img = np.asarray(Image.open(os.path.join(out, frames[0])))
+    assert img.shape == (48, 64, 3)
+    assert img.max() > 0  # scene visible, not a black frame
+
+
+def test_serve_protocol_roundtrip(tmp_path):
+    """The hierarchy render service answers the SIBR wire protocol."""
+    import json
+    import socket
+    import threading
+
+    from h3dgs_tpu.viewer import service as svc
+    from h3dgs_tpu.viewer.network_gui import NetworkGUI
+
+    from .test_network_gui import _client_request
+
+    path, h = _write_toy_hier(tmp_path)
+    r = HierarchyRenderer(path, budget=h.n_nodes, sh_degree=1,
+                          raster_cfg=CFG)
+    gui = NetworkGUI(host="127.0.0.1", port=0)
+    port = gui.listener.getsockname()[1]
+
+    # serve() constructs its own NetworkGUI; run its loop body inline on
+    # the pre-bound instance instead (one exchange), same code path as
+    # the serve loop.
+    w, hh = 48, 32
+    result = {}
+
+    def client():
+        s = socket.create_connection(("127.0.0.1", port), timeout=180)
+        msg = json.dumps(_client_request(w, hh)).encode("utf-8")
+        s.sendall(len(msg).to_bytes(4, "little"))
+        s.sendall(msg)
+        want = hh * w * 3
+        buf = b""
+        while len(buf) < want:
+            chunk = s.recv(want - len(buf))
+            if not chunk:
+                break
+            buf += chunk
+        result["img"] = np.frombuffer(buf, np.uint8)
+        s.close()
+
+    t = threading.Thread(target=client)
+    t.start()
+    # One iteration of serve()'s loop.
+    while gui.conn is None:
+        gui._try_connect()
+    msg = gui._read_msg()
+    cam = gui._camera_from_msg(msg)
+    assert cam is not None
+    img, _ = r.render(cam, tau=3.0)
+    gui._send(memoryview(img.tobytes()))
+    t.join(timeout=180)
+    assert result["img"].size == hh * w * 3
+    assert result["img"].max() > 0
