@@ -122,7 +122,14 @@ def main():
         except Exception as ex:
             print(f"  {name}: failed ({type(ex).__name__})",
                   file=sys.stderr, flush=True)
-    best = min(trials, key=trials.get)
+    if trials:
+        best = min(trials, key=trials.get)
+    else:
+        # Every candidate failed (e.g. broken backend): run the r1-style
+        # base config so the real error surfaces from the measurement.
+        best = "bwd=0,mxu"
+        print("  all candidates failed; falling back to base config",
+              file=sys.stderr, flush=True)
     print(f"  winner: {best}", file=sys.stderr, flush=True)
 
     dt = timed(make_step(candidates[best]), ITERS, salt0=0.5)

@@ -217,6 +217,15 @@ def _dp_setup(cfg: FullConfig) -> _DpSetup:
         from ..parallel import sharding as shard_lib
         mesh = shard_lib.make_mesh(n_data=n_data, n_tile=1)
         batch_sharding = shard_lib.data_sharded(mesh)
+        if n_proc > 1:
+            pidx = jax.process_index()
+            if not any(d.process_index == pidx
+                       for d in mesh.devices.flat):
+                raise ValueError(
+                    f"data_devices={n_data} does not span all {n_proc} "
+                    f"hosts (this host owns no mesh device); use "
+                    f"data_devices = total chips across hosts "
+                    f"({len(jax.devices())})")
     return _DpSetup(use_dp=use_dp, primary=primary, n_proc=n_proc,
                     views_per_step=views_per_step,
                     local_views=local_views, keep_fn=keep_fn, mesh=mesh,
@@ -483,9 +492,14 @@ def train_post(cfg: FullConfig, scene: Scene,
             sh_deg = min(it // 1000, max_sh)
             if use_dp:
                 # Per-view pretrained exposure rows + granularity samples,
-                # sharded alongside the view batch.
+                # sharded alongside the view batch. Every host walks the
+                # same base rng; fold in the process index so each host's
+                # LOCAL views get independent limit samples (the reference
+                # draws one per view).
                 exp_rows = jnp.asarray(
                     np.stack([exp_for(hv) for hv in batch_host]))
+                if dp.n_proc > 1:
+                    k = jax.random.fold_in(k, jax.process_index())
                 keys = jax.random.split(k, len(batch_host))
                 limits = jnp.stack([sample_limit(kk) for kk in keys])
                 if dp.n_proc > 1:

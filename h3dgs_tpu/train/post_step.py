@@ -140,18 +140,7 @@ def make_post_train_step(opt_cfg: OptimizationConfig,
     """
 
     def lr_dict(iteration):
-        return {
-            "xyz": schedules.expon_lr(
-                iteration, opt_cfg.position_lr_init,
-                opt_cfg.position_lr_final,
-                lr_delay_mult=opt_cfg.position_lr_delay_mult,
-                max_steps=opt_cfg.position_lr_max_steps),
-            "f_dc": opt_cfg.feature_lr,
-            "f_rest": opt_cfg.feature_lr / 20.0,
-            "opacity": opt_cfg.opacity_lr,
-            "scaling": opt_cfg.scaling_lr,
-            "rotation": opt_cfg.rotation_lr,
-        }
+        return schedules.gaussian_lr_dict(opt_cfg, iteration)
 
     @functools.partial(jax.jit, static_argnames=("sh_degree",),
                        donate_argnames=("state", "opt"))

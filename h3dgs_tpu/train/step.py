@@ -121,20 +121,7 @@ def make_train_step(opt_cfg: OptimizationConfig, raster_cfg: RasterizeConfig,
     """
 
     def lr_dict(iteration):
-        xyz_lr = schedules.expon_lr(
-            iteration, opt_cfg.position_lr_init, opt_cfg.position_lr_final,
-            lr_delay_mult=opt_cfg.position_lr_delay_mult,
-            max_steps=opt_cfg.position_lr_max_steps)
-        if freeze_xyz:
-            xyz_lr = 0.0
-        return {
-            "xyz": xyz_lr,
-            "f_dc": opt_cfg.feature_lr,
-            "f_rest": opt_cfg.feature_lr / 20.0,
-            "opacity": opt_cfg.opacity_lr,
-            "scaling": opt_cfg.scaling_lr,
-            "rotation": opt_cfg.rotation_lr,
-        }
+        return schedules.gaussian_lr_dict(opt_cfg, iteration, freeze_xyz=freeze_xyz)
 
     @functools.partial(jax.jit, static_argnames=("sh_degree",),
                        donate_argnames=("state", "opt", "exposure",

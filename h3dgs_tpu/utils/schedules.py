@@ -31,3 +31,29 @@ def make_expon_lr_fn(lr_init, lr_final, lr_delay_steps=0, lr_delay_mult=1.0,
         return expon_lr(step, lr_init, lr_final, lr_delay_steps,
                         lr_delay_mult, max_steps)
     return fn
+
+
+def gaussian_lr_dict(opt_cfg, iteration, freeze_xyz: bool = False):
+    """Per-parameter-group learning rates for Gaussian optimization.
+
+    The single source of the reference's LR table (train_single.py /
+    train_post.py setup; OptimizationParams defaults): exponential xyz
+    schedule (zeroed when the coarse trainer freezes positions), constant
+    rates for features (f_rest at feature_lr/20), opacity, scaling,
+    rotation. Used by the flat, data-parallel, and post-optimization
+    steps alike.
+    """
+    xyz_lr = expon_lr(
+        iteration, opt_cfg.position_lr_init, opt_cfg.position_lr_final,
+        lr_delay_mult=opt_cfg.position_lr_delay_mult,
+        max_steps=opt_cfg.position_lr_max_steps)
+    if freeze_xyz:
+        xyz_lr = 0.0
+    return {
+        "xyz": xyz_lr,
+        "f_dc": opt_cfg.feature_lr,
+        "f_rest": opt_cfg.feature_lr / 20.0,
+        "opacity": opt_cfg.opacity_lr,
+        "scaling": opt_cfg.scaling_lr,
+        "rotation": opt_cfg.rotation_lr,
+    }

@@ -142,7 +142,19 @@ class HierarchyRenderer:
         flat, count, d_min = self._select(
             jnp.asarray(sel_limit, jnp.float32),
             jnp.asarray(camera.cam_center))
-        if margin > 0:
+        cacheable = margin > 0
+        if margin > 0 and int(count) > self.budget:
+            # fit_limit validated the EXACT limit against the budget; the
+            # finer hysteresis selection overflowed it (expand_to_size
+            # would silently truncate the cut). Fall back to the exact
+            # limit and skip caching for this frame.
+            flat, count, d_min = self._select(
+                jnp.asarray(limit, jnp.float32),
+                jnp.asarray(camera.cam_center))
+            cacheable = False
+        if cacheable and np.isfinite(float(d_min)):
+            # (an empty cut yields d_min = inf, which would make the
+            # reuse test vacuously true forever — never cache it)
             self._cut_cache = {"center": center, "tau": tau,
                                "hw": (camera.height, camera.width),
                                "limit": limit, "d_min": float(d_min),

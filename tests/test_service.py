@@ -1,5 +1,6 @@
 """Hierarchy render service: tau-budgeted rendering (SIBR viewer role)."""
 import os
+import pytest
 
 import numpy as np
 
@@ -182,3 +183,36 @@ def test_serve_protocol_roundtrip(tmp_path):
     t.join(timeout=180)
     assert result["img"].size == hh * w * 3
     assert result["img"].max() > 0
+
+
+def test_reuse_margin_respects_budget(tmp_path):
+    """The hysteresis selection must never render a silently-truncated
+    cut: when the finer (1-margin) selection overflows the budget, the
+    renderer falls back to the exact budget-validated limit."""
+    path, h = _write_toy_hier(tmp_path, n=150, seed=9)
+    budget = 40
+    r = HierarchyRenderer(path, budget=budget, sh_degree=1,
+                          raster_cfg=CFG, reuse_margin=0.2)
+    cam = look_at_camera(eye=(0, -0.5, -18.0), target=(0, 0, 0), fovx=1.1,
+                         width=64, height=48)
+    for tau in (0.0, 3.0, 6.0):
+        _, stats = r.render(cam, tau=tau)
+        assert stats["cut_size"] <= budget, (tau, stats)
+
+
+def test_cache_entries_always_finite(tmp_path):
+    """Cached cuts must carry a finite reuse bound (d_min): an inf bound
+    would make the movement test vacuously true and pin a stale cut
+    forever. (A fully-empty cut cannot occur — the root is always a cut
+    member — but degenerate boxes could still yield inf distances, so
+    the cache guards on finiteness.)"""
+    path, h = _write_toy_hier(tmp_path, n=60, seed=10)
+    r = HierarchyRenderer(path, budget=h.n_nodes, sh_degree=1,
+                          raster_cfg=CFG, reuse_margin=0.05)
+    for dist, tau in ((500.0, 50.0), (6.0, 3.0)):
+        cam = look_at_camera(eye=(0, -0.5, -dist), target=(0, 0, 0),
+                             fovx=1.1, width=64, height=48)
+        _, s = r.render(cam, tau=tau)
+        assert s["cut_size"] >= 1
+        if r._cut_cache is not None:
+            assert np.isfinite(r._cut_cache["d_min"])
