@@ -333,12 +333,19 @@ def _fwd_kernel(owner_ref, entries_ref, out_ref, trans, term,
          t_incl, t_carry, term_carry) = _seg_recurrence(
             e, seg, trans, term, tiles_x, tile, p,
             prefix_mode=prefix_mode)
+        # One [4S,E] x [E,P] matmul instead of S [4,E] x [E,P]: the MXU's
+        # M dimension goes from 4 used rows to 4S (masks are 0/1 on the
+        # contraction axis, so slab i equals the per-quantum product
+        # exactly). S small => the concatenate is trivial VPU work.
+        a4 = _attr4(e)
+        a_big = jnp.concatenate(
+            [a4 * seg.masks[i].astype(e.dtype) for i in range(s)], axis=0)
+        outs = jax.lax.dot_general(
+            a_big, contrib, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)             # [4S, P]
         for i in range(s):
-            out_ref[i, O_R:O_D + 1, :] = jax.lax.dot_general(
-                _attr4(e), jnp.where(seg.masks[i], contrib, 0.0),
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+            out_ref[i, O_R:O_D + 1, :] = outs[4 * i:4 * i + 4]
             t_after = _seg_trans_after(seg, i, q, live, t_incl, t_carry)
             out_ref[i, O_T, :] = t_after[:, 0]
             if emit_dead:
@@ -404,28 +411,33 @@ def _bwd_kernel(owner_ref, entries_ref, grads_ref, dentries_ref,
             prefix_mode=prefix_mode)
 
         attr = _attr4(e)                                     # [4,E]
-        d_attr = jnp.zeros_like(attr)
-        ga = jnp.zeros_like(contrib)                         # [P,E]
         g_tot = jnp.zeros_like(contrib)
         t_fin = jnp.zeros_like(contrib)
         g_t = jnp.zeros_like(contrib)
+        masks_f = [seg.masks[i].astype(e.dtype) for i in range(s)]
+        # Batched MXU work (see the forward): stack the S quanta's
+        # cotangent rows into one [4S,P] operand.
+        g_big = jnp.concatenate(
+            [grads_ref[i][O_R:O_D + 1, :] for i in range(s)], axis=0)
+        # d rgb / d invd: one [4S,P] x [P,E] contraction; quantum i's
+        # slab is valid only on its own columns (masks disjoint per
+        # column), so the masked slab-sum assembles the full [4,E].
+        gc = jax.lax.dot_general(
+            g_big, contrib, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)             # [4S, E]
+        d_attr = sum(gc[4 * i:4 * i + 4] * masks_f[i] for i in range(s))
+        # Fused suffix: ga = sum_ch g_ch * a_ch per lane with the lane's
+        # own tile's cotangents — one [P,4S] x [4S,E] matmul (the masked
+        # attr slabs pick quantum i's cotangents for its columns).
+        a_masked = jnp.concatenate(
+            [attr * masks_f[i] for i in range(s)], axis=0)   # [4S, E]
+        ga = jax.lax.dot_general(
+            g_big, a_masked, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)             # [P, E]
         for i in range(s):
             gi = grads_ref[i]                                # [N_OUT,P]
-            contrib_i = jnp.where(seg.masks[i], contrib, 0.0)
-            # d rgb / d invd: contraction over pixels on the MXU; the
-            # mask zeroes other quanta's columns, so the sum assembles
-            # the full [4,E].
-            d_attr = d_attr + jax.lax.dot_general(
-                gi[O_R:O_D + 1, :], contrib_i, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
-            # Fused suffix: ga = sum_ch g_ch * a_ch,i per lane, using the
-            # lane's own tile's cotangents.
-            ga_i = jax.lax.dot_general(
-                gi[O_R:O_D + 1, :], attr, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)         # [P,E]
-            ga = jnp.where(seg.masks[i], ga_i, ga)
             g_tot = jnp.where(seg.masks[i],
                               gi[G_TOT:G_TOT + 1, :].T, g_tot)
             t_fin = jnp.where(seg.masks[i],
