@@ -90,6 +90,41 @@ def main(iters=8):
     base = RasterizeConfig(max_entries=1 << 21, max_per_tile=4096,
                            chunk_e=512, quantum=128)
 
+    # On-chip correctness gate before timing: this backend has a history
+    # of executable-specific miscompiles around pallas outputs, and the
+    # interpret-mode tests cannot catch those. Gradients must agree
+    # between every lever combo on the real compiled path.
+    import jax.numpy as jnp
+
+    from h3dgs_tpu.ops.rasterize import rasterize
+    from h3dgs_tpu.utils.losses import photometric_loss
+
+    def grads_for(cfg):
+        bg = jnp.zeros(3, jnp.float32)
+        tgt = jnp.full((3, HEIGHT, WIDTH), 0.4, jnp.float32)
+
+        @jax.jit
+        def g(p):
+            def loss(m):
+                out = rasterize(m, p[1], p[2], p[3], p[4], cam, 3, bg,
+                                config=cfg)
+                return photometric_loss(out["render"], tgt)
+            return jax.grad(loss)(p[0])
+        return np.asarray(g(params))
+
+    g_ref = grads_for(base._replace(bwd_entries=0, prefix_mode="mxu"))
+    for name, cfg in (("bwd=auto", base._replace(bwd_entries=None)),
+                      ("roll", base._replace(bwd_entries=0,
+                                             prefix_mode="roll"))):
+        gv = grads_for(cfg)
+        ok = np.allclose(gv, g_ref, atol=3e-5, rtol=5e-3)
+        print(f"correctness {name}: "
+              f"{'OK' if ok else 'MISMATCH'} "
+              f"maxdiff={np.abs(gv - g_ref).max():.2e}", flush=True)
+        if not ok:
+            print(f"!! {name} grads diverge on-chip — do NOT promote; "
+                  f"investigate (axon miscompile pattern?)", flush=True)
+
     results = {}
     variants = [
         ("bwd=0 mxu (r1 baseline)",
