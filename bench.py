@@ -92,13 +92,13 @@ def main():
         return step
 
     def timed(step, iters, salt0=0.0):
-        float(step(params, target, jnp.float32(salt0)))  # warm / sync
+        ref = float(step(params, target, jnp.float32(salt0)))  # warm/sync
         t0 = time.perf_counter()
         outs = [step(params, target,
                      jnp.float32(salt0 + (i + 1) * 1e-7))
                 for i in range(iters)]
         float(outs[-1])   # one device stream: last done => all done
-        return (time.perf_counter() - t0) / iters
+        return (time.perf_counter() - t0) / iters, ref
 
     # Self-tuning: the round-2 kernel levers (backward termination
     # truncation, roll-mode recurrence) are scene-dependent; pick the
@@ -113,15 +113,29 @@ def main():
     }
     import sys
     trials = {}
+    losses = {}
     for name, cfg in candidates.items():
         try:
-            trials[name] = timed(make_step(cfg), 3, salt0=hash(name) % 97
-                                 * 1e-6)
-            print(f"  {name}: {trials[name] * 1e3:.2f} ms",
-                  file=sys.stderr, flush=True)
+            trials[name], losses[name] = timed(
+                make_step(cfg), 3, salt0=0.0)
+            print(f"  {name}: {trials[name] * 1e3:.2f} ms "
+                  f"probe={losses[name]:.6f}", file=sys.stderr, flush=True)
         except Exception as ex:
             print(f"  {name}: failed ({type(ex).__name__})",
                   file=sys.stderr, flush=True)
+    # Correctness gate: identical inputs (salt0=0) must give the same
+    # loss scalar on every combo — a fast-but-miscompiled kernel (this
+    # backend has produced executable-specific miscompiles before) must
+    # not win the tuning.
+    ref_loss = losses.get("bwd=0,mxu")
+    if ref_loss is not None:
+        for name in list(trials):
+            if abs(losses[name] - ref_loss) > 1e-4 * max(abs(ref_loss),
+                                                         1e-3):
+                print(f"  {name}: GRAD-PROBE MISMATCH vs base "
+                      f"({losses[name]} != {ref_loss}) — excluded",
+                      file=sys.stderr, flush=True)
+                del trials[name]
     if trials:
         best = min(trials, key=trials.get)
     else:
@@ -132,7 +146,7 @@ def main():
               file=sys.stderr, flush=True)
     print(f"  winner: {best}", file=sys.stderr, flush=True)
 
-    dt = timed(make_step(candidates[best]), ITERS, salt0=0.5)
+    dt, _ = timed(make_step(candidates[best]), ITERS, salt0=0.5)
 
     mpix_s = (WIDTH * HEIGHT / 1e6) / dt
     print(json.dumps({
