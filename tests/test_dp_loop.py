@@ -168,3 +168,42 @@ def test_train_post_dp_loop(toy_path, tmp_path):
                progress_cb=lambda it, log: losses.append(log.ema_photo))
     assert losses and np.isfinite(losses[-1])
     assert os.path.exists(hier + "_opt")
+
+
+@pytest.mark.slow
+def test_dp_step_pallas_backend():
+    """The Pallas blend (custom VJP + backward-truncation lax.cond) must
+    compose with the dp step's shard_map + lax.scan — the exact program a
+    TPU slice runs (CPU auto-backend falls back to XLA, so this forces
+    the pallas path in interpret mode)."""
+    import jax
+    import jax.numpy as jnp
+
+    from h3dgs_tpu.config import OptimizationConfig
+    from h3dgs_tpu.ops import adam as adam_lib
+    from h3dgs_tpu.ops.rasterize import RasterizeConfig
+    from h3dgs_tpu.parallel import sharding as shard_lib
+    from h3dgs_tpu.parallel.step import make_dp_train_step
+    from h3dgs_tpu.train.step import ViewBatch
+
+    from .test_dp_step import _setup
+
+    st, batch, bg = _setup(b=2, n=24, h=32, w=32)
+    mesh = shard_lib.make_mesh(n_data=2, n_tile=1)
+    cfg = RasterizeConfig(max_entries=1 << 11, max_per_tile=128,
+                          backend="pallas", chunk_e=256, quantum=128,
+                          bwd_entries=512)
+    step = make_dp_train_step(OptimizationConfig(iterations=4), cfg, mesh,
+                              use_depth_loss=True, use_exposure=True,
+                              skybox_locked=False, skip_shrink=False)
+    opt = adam_lib.init(st.trainable_dict())
+    exposure = jnp.tile(jnp.eye(3, 4)[None], (2, 1, 1))
+    with jax.set_mesh(mesh):
+        batch_sh = jax.device_put(batch, shard_lib.data_sharded(mesh))
+        out = step(st, opt, exposure,
+                   adam_lib.init({"exposure": exposure}), batch_sh,
+                   jnp.asarray(1.0), bg, jnp.asarray(1.0),
+                   jnp.asarray(3.0), 0)
+        jax.block_until_ready(out.state.xyz)
+    assert np.isfinite(float(out.photo_loss))
+    assert int(out.n_visible) > 0
