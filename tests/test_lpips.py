@@ -12,24 +12,9 @@ _VGG_CFG = M._VGG_CFG
 
 @pytest.fixture(scope="module")
 def random_weights(tmp_path_factory):
-    rng = np.random.default_rng(0)
-    arrays = {}
-    cin = 3
-    li = 0
-    for block in _VGG_CFG:
-        for cout in block:
-            arrays[f"conv{li}.weight"] = rng.normal(
-                0, 0.05, (cout, cin, 3, 3)).astype(np.float32)
-            arrays[f"conv{li}.bias"] = np.zeros(cout, np.float32)
-            cin = cout
-            li += 1
-    for i, block in enumerate(_VGG_CFG):
-        c = block[-1]
-        arrays[f"lin{i}.weight"] = np.abs(rng.normal(
-            0, 0.1, (1, c, 1, 1))).astype(np.float32)
-    path = tmp_path_factory.mktemp("lpips") / "rand_lpips.npz"
-    np.savez(path, **arrays)
-    return str(path)
+    from .utils import write_random_lpips_weights
+    return write_random_lpips_weights(
+        tmp_path_factory.mktemp("lpips") / "rand_lpips.npz")
 
 
 def test_lpips_none_without_weights(monkeypatch):

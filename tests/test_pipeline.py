@@ -164,7 +164,22 @@ def test_end_to_end_single_hier_post_merge(toy_scene, tmp_path):
         runtime=RUNTIME)
     scene_eval = Scene(cfg_eval.model, cfg_eval.runtime,
                        create_from_hier=True)
-    results = render_set(scene_eval, cfg_eval, [0.0, 15.0],
-                         str(tmp_path / "renders"), save_images=False)
+    # Three-metric eval: with (random, shape-compatible) LPIPS weights
+    # supplied, the reference's full PSNR/SSIM/LPIPS protocol runs
+    # (/root/reference/render_hierarchy.py:108-120).
+    import os as _os
+
+    from h3dgs_tpu.eval.metrics import LPIPS_WEIGHTS_ENV
+
+    from .utils import write_random_lpips_weights
+    _os.environ[LPIPS_WEIGHTS_ENV] = write_random_lpips_weights(
+        str(tmp_path / "rand_lpips.npz"))
+    try:
+        results = render_set(scene_eval, cfg_eval, [0.0, 15.0],
+                             str(tmp_path / "renders"), save_images=False)
+    finally:
+        del _os.environ[LPIPS_WEIGHTS_ENV]
     assert results[0.0]["psnr"] > 18.0, results
     assert results[0.0]["psnr"] >= results[15.0]["psnr"] - 0.5
+    assert results[0.0]["lpips"] is not None
+    assert np.isfinite(results[0.0]["lpips"])

@@ -27,3 +27,28 @@ def random_scene(n: int, seed: int = 0, sh_degree: int = 1,
 def make_test_camera(width=64, height=48, dist=4.0, fovx=1.0, **kw) -> Camera:
     return look_at_camera(eye=(0.3, -0.2, -dist), target=(0.0, 0.0, 0.0),
                           fovx=fovx, width=width, height=height, **kw)
+
+
+def write_random_lpips_weights(path):
+    """Shape-compatible random VGG-lin weights (see eval/metrics._VGG_CFG):
+    exercises the full LPIPS compute path without pretrained tensors."""
+    import numpy as np
+
+    from h3dgs_tpu.eval.metrics import _VGG_CFG
+
+    rng = np.random.default_rng(0)
+    arrays = {}
+    cin = 3
+    li = 0
+    for block in _VGG_CFG:
+        for cout in block:
+            arrays[f"conv{li}.weight"] = rng.normal(
+                0, 0.05, (cout, cin, 3, 3)).astype(np.float32)
+            arrays[f"conv{li}.bias"] = np.zeros(cout, np.float32)
+            cin = cout
+            li += 1
+    for i, block in enumerate(_VGG_CFG):
+        arrays[f"lin{i}.weight"] = np.abs(rng.normal(
+            0, 0.1, (1, block[-1], 1, 1))).astype(np.float32)
+    np.savez(path, **arrays)
+    return str(path)
