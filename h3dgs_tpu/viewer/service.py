@@ -29,8 +29,7 @@ from ..hierarchy.io import read_hier
 from ..model.init import state_from_hierarchy
 from ..ops.rasterize import RasterizeConfig
 from ..scene.camera import Camera, look_at_camera
-from ..train.post_step import (render_cut, select_cut_gaussians,
-                               splat_cut_gaussians)
+from ..train.post_step import select_cut_gaussians, splat_cut_gaussians
 
 
 class HierarchyRenderer:

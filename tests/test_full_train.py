@@ -5,7 +5,6 @@ a toy project layout. Also covers --skip_if_exists resume."""
 import os
 import shutil
 
-import numpy as np
 import pytest
 
 from .synthetic_scene import make_gaussian_scene, ring_cameras, write_colmap_scene

@@ -9,7 +9,6 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from h3dgs_tpu.model import densify as densify_lib
 from h3dgs_tpu.model import state as state_lib
 from h3dgs_tpu.ops import adam as adam_lib
 from h3dgs_tpu.ops.rasterize import RasterizeConfig, rasterize

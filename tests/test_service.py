@@ -138,7 +138,6 @@ def test_serve_protocol_roundtrip(tmp_path):
     import socket
     import threading
 
-    from h3dgs_tpu.viewer import service as svc
     from h3dgs_tpu.viewer.network_gui import NetworkGUI
 
     from .test_network_gui import _client_request
