@@ -236,3 +236,45 @@ def test_roll_prefix_matches_mxu(scene_fn):
     for a, b in zip(jax.tree.leaves(g_r), jax.tree.leaves(g_m)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-5, rtol=5e-3)
+
+
+def test_seg_cumprod_and_shift_against_numpy():
+    """Unit-level check of the roll-mode segmented scan helpers on random
+    segment layouts (the end-to-end tests only see layouts binning
+    produces)."""
+    from h3dgs_tpu.ops.pallas_blend import (_seg_cumprod, _seg_shift_fill1,
+                                            _segments)
+
+    rng = np.random.default_rng(0)
+    q, s = 8, 4
+    e_width = q * s
+    for trial in range(6):
+        # Random owner runs incl. repeats and -1 padding at the tail.
+        owners = []
+        cur = int(rng.integers(0, 3))
+        for i in range(s):
+            if rng.random() < 0.5 and owners:
+                owners.append(owners[-1])
+            else:
+                cur += int(rng.integers(1, 3))
+                owners.append(cur)
+        owners = [jnp.int32(o) for o in owners]
+        seg = _segments(owners, e_width, q, jnp.float32)
+        x = jnp.asarray(rng.uniform(0.2, 1.0, (3, e_width)), jnp.float32)
+
+        incl = np.asarray(_seg_cumprod(x, seg))
+        excl = np.asarray(_seg_shift_fill1(jnp.asarray(incl), seg))
+
+        bids = np.asarray([int(b) for b in seg.bids])
+        ref_incl = np.empty((3, e_width), np.float32)
+        ref_excl = np.empty((3, e_width), np.float32)
+        xn = np.asarray(x)
+        for lane in range(e_width):
+            b = bids[lane // q]
+            start = min(i * q for i in range(s) if bids[i] == b)
+            ref_excl[:, lane] = np.prod(xn[:, start:lane], axis=1)
+            ref_incl[:, lane] = ref_excl[:, lane] * xn[:, lane]
+        np.testing.assert_allclose(incl, ref_incl, rtol=2e-6,
+                                   err_msg=f"trial {trial} incl")
+        np.testing.assert_allclose(excl, ref_excl, rtol=2e-6,
+                                   err_msg=f"trial {trial} excl")
