@@ -102,6 +102,11 @@ class PallasBlendConfig(NamedTuple):
     (lax.cond), so the optimization is lossless."""
     chunk_e: int = 256     # entries per grid step (lane dim)
     quantum: int = 128     # per-tile alignment unit
+    # Backward grid-step width (0 = chunk_e). The backward's VMEM scope
+    # is ~2x the forward's, so a wide forward (e.g. 1024) can pair with a
+    # narrower backward; any multiple of quantum re-chunks the same
+    # quantum-aligned stream with identical math.
+    bwd_chunk_e: int = 0
     interpret: bool = False
     bwd_entries: int = 0   # 0 = disabled; else multiple of chunk_e
     # Transmittance recurrence implementation:
@@ -527,7 +532,7 @@ def pallas_blend_bwd(packed, owner, grads_quanta, *,
                      tiles_x: int, tile: int, cfg: PallasBlendConfig):
     """Per-entry gradient stream [16, D] from per-quantum cotangents."""
     p = tile * tile
-    e = cfg.chunk_e
+    e = cfg.bwd_chunk_e or cfg.chunk_e
     q = cfg.quantum
     s = e // q
     n_chunks = packed.shape[1] // e

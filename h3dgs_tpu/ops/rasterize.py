@@ -59,6 +59,9 @@ class RasterizeConfig(NamedTuple):
     # Pallas transmittance recurrence: "mxu" (log -> triangular-matmul
     # prefix -> exp) or "roll" (direct segmented cumprod, Hillis-Steele).
     prefix_mode: str = "mxu"
+    # Backward grid-step width (0 = chunk_e): lets a wide forward pair
+    # with a narrower backward (the bwd kernel's VMEM scope is ~2x).
+    bwd_chunk_e: int = 0
     # Mesh axis name to shard the per-tile blend over (pixels/tiles are the
     # natural SPMD axis of splatting). Requires an ambient mesh
     # (jax.set_mesh); Gaussian/entry arrays stay replicated and XLA inserts
@@ -248,8 +251,16 @@ def blend_tiles_pallas(proj: ProjectedGaussians, height: int, width: int,
             f"bwd_entries ({bwd_entries}) must be a multiple of chunk_e "
             f"({config.chunk_e}); the backward grid would leave trailing "
             "quanta unprocessed")
+    bwd_e = config.bwd_chunk_e or config.chunk_e
+    if bwd_e % quantum or config.max_entries % bwd_e or \
+            (bwd_entries and bwd_entries % bwd_e):
+        raise ValueError(
+            f"bwd_chunk_e ({bwd_e}) must be a multiple of quantum "
+            f"({quantum}) and divide max_entries ({config.max_entries}) "
+            f"and bwd_entries ({bwd_entries})")
     pcfg = PallasBlendConfig(
         chunk_e=config.chunk_e, quantum=quantum,
+        bwd_chunk_e=config.bwd_chunk_e,
         interpret=not _on_tpu(), bwd_entries=bwd_entries,
         prefix_mode=config.prefix_mode)
     inv_depth = 1.0 / jnp.maximum(proj.depth, 1e-6)

@@ -278,3 +278,27 @@ def test_seg_cumprod_and_shift_against_numpy():
                                    err_msg=f"trial {trial} incl")
         np.testing.assert_allclose(excl, ref_excl, rtol=2e-6,
                                    err_msg=f"trial {trial} excl")
+
+
+@pytest.mark.parametrize("bwd_e", [128, 256])
+def test_asymmetric_bwd_chunk_matches(bwd_e):
+    """A narrower backward grid step re-chunks the same quantum-aligned
+    stream: per-quantum prefixes and carry order are unchanged, but the
+    per-chunk batched matmuls regroup their f32 accumulation, so gradients
+    match to accumulation-order noise (~1e-9 abs observed), not bitwise."""
+    params, cam, bg = _saturated_scene(n=200, seed=13)
+    target = jnp.full((3, 32, 48), 0.4)
+
+    def grads(cfg):
+        def loss(p):
+            out = R.rasterize(*p, cam, 1, bg, config=cfg)
+            return (photometric_loss(out["render"], target)
+                    + 0.1 * jnp.mean(out["final_transmittance"]))
+        return jax.grad(loss)(params)
+
+    base = PL_CFG_SEG4._replace(max_entries=1 << 12, bwd_entries=1 << 11)
+    g_sym = grads(base)
+    g_asym = grads(base._replace(bwd_chunk_e=bwd_e))
+    for a, b in zip(jax.tree.leaves(g_asym), jax.tree.leaves(g_sym)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-2, atol=1e-8)
