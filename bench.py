@@ -70,7 +70,7 @@ def main():
     # budget would silently drop tail tiles (see
     # binning.AlignedBins.aligned_entries).
     budget = min(1 << 21, max(1 << 12, N_GAUSS * 16))
-    budget = -(-budget // 512) * 512
+    budget = -(-budget // 1024) * 1024  # divisible by every swept chunk_e
     base = RasterizeConfig(max_entries=budget, max_per_tile=4096,
                            chunk_e=512, quantum=128)
     bg = jnp.zeros(3, jnp.float32)
@@ -145,8 +145,40 @@ def main():
         print("  all candidates failed; falling back to base config",
               file=sys.stderr, flush=True)
     print(f"  winner: {best}", file=sys.stderr, flush=True)
+    best_cfg = candidates[best]
 
-    dt, _ = timed(make_step(candidates[best]), ITERS, salt0=0.5)
+    # Stage 2: grid-step width at the winning flags. A wide forward pairs
+    # with a narrower backward (bwd_chunk_e) because the backward kernel's
+    # VMEM scope is ~2x the forward's.
+    stage2 = {best: best_cfg}
+    if best_cfg.max_entries % 1024 == 0:
+        stage2["E1024/bwd512"] = best_cfg._replace(chunk_e=1024,
+                                                   bwd_chunk_e=512)
+        stage2["E1024/bwd256"] = best_cfg._replace(chunk_e=1024,
+                                                   bwd_chunk_e=256)
+    if len(stage2) > 1:
+        t2, l2 = {}, {}
+        for name, cfg in stage2.items():
+            try:
+                t2[name], l2[name] = timed(make_step(cfg), 3, salt0=0.0)
+                print(f"  {name}: {t2[name] * 1e3:.2f} ms "
+                      f"probe={l2[name]:.6f}", file=sys.stderr, flush=True)
+            except Exception as ex:
+                print(f"  {name}: failed ({type(ex).__name__})",
+                      file=sys.stderr, flush=True)
+        ref2 = l2.get(best)
+        if ref2 is not None:
+            for name in list(t2):
+                if abs(l2[name] - ref2) > 1e-4 * max(abs(ref2), 1e-3):
+                    print(f"  {name}: GRAD-PROBE MISMATCH — excluded",
+                          file=sys.stderr, flush=True)
+                    del t2[name]
+        if t2:
+            best2 = min(t2, key=t2.get)
+            print(f"  stage-2 winner: {best2}", file=sys.stderr, flush=True)
+            best_cfg = stage2[best2]
+
+    dt, _ = timed(make_step(best_cfg), ITERS, salt0=0.5)
 
     mpix_s = (WIDTH * HEIGHT / 1e6) / dt
     print(json.dumps({

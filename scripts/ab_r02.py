@@ -143,14 +143,19 @@ def main(iters=8):
     print(f"\nwinner: {best_label}", flush=True)
     best = dict(variants)[best_label]
 
-    # E/Q re-sweep at the winning flags.
-    for e, q in ((256, 128), (512, 128), (512, 256), (1024, 128)):
+    # E/Q re-sweep at the winning flags. be = backward grid-step width
+    # (0 = symmetric); the wide-forward rows pair with a narrower
+    # backward because the bwd kernel's VMEM scope is ~2x the forward's.
+    for e, q, be in ((256, 128, 0), (512, 128, 0), (512, 256, 0),
+                     (1024, 128, 0), (1024, 128, 512), (1024, 128, 256),
+                     (2048, 128, 512)):
         try:
-            cfg = best._replace(chunk_e=e, quantum=q)
-            time_cfg(params, cam, cfg, iters, f"winner E={e} Q={q}")
+            cfg = best._replace(chunk_e=e, quantum=q, bwd_chunk_e=be)
+            time_cfg(params, cam, cfg, iters,
+                     f"winner E={e} Q={q} bwdE={be or e}")
         except Exception as ex:  # e.g. VMEM overflow at E=1024 bwd
-            print(f"E={e} Q={q}: {type(ex).__name__}: {str(ex)[:120]}",
-                  flush=True)
+            print(f"E={e} Q={q} bwdE={be or e}: "
+                  f"{type(ex).__name__}: {str(ex)[:120]}", flush=True)
 
 
 if __name__ == "__main__":
