@@ -280,8 +280,12 @@ def test_seg_cumprod_and_shift_against_numpy():
                                    err_msg=f"trial {trial} excl")
 
 
-@pytest.mark.parametrize("bwd_e", [128, 256])
-def test_asymmetric_bwd_chunk_matches(bwd_e):
+@pytest.mark.parametrize("bwd_e,bwd_entries", [
+    (128, 1 << 11),   # truncation path
+    (256, 1 << 11),
+    (128, 0),         # plain full-stream backward
+])
+def test_asymmetric_bwd_chunk_matches(bwd_e, bwd_entries):
     """A narrower backward grid step re-chunks the same quantum-aligned
     stream: per-quantum prefixes and carry order are unchanged, but the
     per-chunk batched matmuls regroup their f32 accumulation, so gradients
@@ -296,7 +300,7 @@ def test_asymmetric_bwd_chunk_matches(bwd_e):
                     + 0.1 * jnp.mean(out["final_transmittance"]))
         return jax.grad(loss)(params)
 
-    base = PL_CFG_SEG4._replace(max_entries=1 << 12, bwd_entries=1 << 11)
+    base = PL_CFG_SEG4._replace(max_entries=1 << 12, bwd_entries=bwd_entries)
     g_sym = grads(base)
     g_asym = grads(base._replace(bwd_chunk_e=bwd_e))
     for a, b in zip(jax.tree.leaves(g_asym), jax.tree.leaves(g_sym)):
