@@ -237,6 +237,9 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=6009)
     p.add_argument("--orbit_dir", default="",
                    help="render an offline orbit instead of serving")
+    p.add_argument("--web_port", type=int, default=0,
+                   help="serve the browser viewer on this port instead of "
+                        "the SIBR TCP protocol (see viewer/web.py)")
     p.add_argument("--n_frames", type=int, default=60)
     p.add_argument("--radius", type=float, default=50.0)
     p.add_argument("--width", type=int, default=1200)
@@ -250,6 +253,10 @@ def main(argv=None):
         orbit(r, a.orbit_dir, n_frames=a.n_frames, radius=a.radius,
               tau=a.tau, width=a.width,
               height_px=int(a.width * 9 / 16))
+    elif a.web_port:
+        from .web import WebViewer
+        WebViewer(r, host=a.ip, port=a.web_port,
+                  tau=a.tau).serve_forever()
     else:
         serve(r, a.ip, a.port, a.tau)
 

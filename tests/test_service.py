@@ -1,5 +1,8 @@
 """Hierarchy render service: tau-budgeted rendering (SIBR viewer role)."""
+import io
+import json
 import os
+
 import pytest
 
 import numpy as np
@@ -215,3 +218,62 @@ def test_cache_entries_always_finite(tmp_path):
         assert s["cut_size"] >= 1
         if r._cut_cache is not None:
             assert np.isfinite(r._cut_cache["d_min"])
+
+
+def test_web_viewer_endpoints(tmp_path):
+    """The browser viewer serves the page, scene info, and JPEG frames
+    with cut-stat headers (the SIBR-viewer role over HTTP)."""
+    import http.client
+
+    from h3dgs_tpu.viewer.web import WebViewer
+
+    path, h = _write_toy_hier(tmp_path)
+    r = HierarchyRenderer(path, budget=h.n_nodes, sh_degree=1,
+                          raster_cfg=CFG)
+    v = WebViewer(r, port=0, tau=3.0).start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", v.port, timeout=180)
+
+        conn.request("GET", "/")
+        resp = conn.getresponse()
+        page = resp.read()
+        assert resp.status == 200 and b"h3dgs_tpu viewer" in page
+
+        conn.request("GET", "/info")
+        resp = conn.getresponse()
+        info = json.loads(resp.read())
+        assert info["n_nodes"] == h.n_nodes
+        assert len(info["center"]) == 3 and info["radius"] > 0
+
+        c, rad = info["center"], info["radius"]
+        conn.request("GET", f"/frame?ex={c[0]}&ey={c[1]}&ez={c[2]-rad}"
+                            f"&tx={c[0]}&ty={c[1]}&tz={c[2]}"
+                            f"&w=64&h=48&tau=0.0")
+        resp = conn.getresponse()
+        body = resp.read()
+        assert resp.status == 200
+        assert body[:2] == b"\xff\xd8"  # JPEG magic
+        assert int(resp.getheader("X-Cut-Size")) >= 1
+        assert resp.getheader("X-Cut-Reused") in ("0", "1")
+
+        from PIL import Image
+        img = np.asarray(Image.open(io.BytesIO(body)))
+        assert img.shape == (48, 64, 3)
+        assert img.max() > 0  # scene visible
+
+        # Same pose again: the cut cache serves it.
+        conn.request("GET", f"/frame?ex={c[0]}&ey={c[1]}&ez={c[2]-rad}"
+                            f"&tx={c[0]}&ty={c[1]}&tz={c[2]}"
+                            f"&w=64&h=48&tau=0.0")
+        resp = conn.getresponse()
+        resp.read()
+        assert resp.getheader("X-Cut-Reused") == "1"
+
+        # Absurd resolution is rejected, not compiled.
+        conn.request("GET", "/frame?w=100000&h=8")
+        resp = conn.getresponse()
+        resp.read()
+        assert resp.status == 400
+        conn.close()
+    finally:
+        v.stop()
