@@ -37,6 +37,22 @@ ITERS = int(os.environ.get("BENCH_ITERS", 10))
 
 
 def main():
+    # When the TPU tunnel is down, jax.devices() hangs FOREVER (the axon
+    # plugin dials and never times out) — probe in a subprocess first so
+    # the bench fails fast with a clear message instead of hanging the
+    # driver. Skipped when another platform is forced.
+    if not os.environ.get("BENCH_PLATFORM"):
+        import subprocess
+        import sys
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=180, check=True, capture_output=True)
+        except Exception as ex:
+            print(f"bench: TPU backend unreachable ({type(ex).__name__}) — "
+                  "tunnel down? No measurement taken.", file=sys.stderr)
+            raise SystemExit(3)
+
     import jax
     # This container's sitecustomize registers the axon TPU plugin; a
     # plain JAX_PLATFORMS env var does not stop it from dialing the
@@ -64,13 +80,33 @@ def main():
 
     cam = look_at_camera(eye=(0.0, -1.0, -6.0), target=(0, 0, 0), fovx=1.2,
                          width=WIDTH, height=HEIGHT)
-    # Budget sized to the aligned-stream need for this scene at the
-    # 128-entry quantum (~1.69M slots; x1.2 headroom bucket -> 2^21),
-    # matching what the adaptive trainer converges to. An undersized
-    # budget would silently drop tail tiles (see
-    # binning.AlignedBins.aligned_entries).
-    budget = min(1 << 21, max(1 << 12, N_GAUSS * 16))
+    # Budget sized exactly as the adaptive trainer would: probe the true
+    # quantum-aligned slot need of this scene (exact regardless of the
+    # probe's own buffer — counts are computed before clamping) and take
+    # the quarter-ladder bucket with 1.2x headroom. Every D-proportional
+    # cost (sort, pack, blend grid, scatter) scales with the BUDGET, so an
+    # oversized buffer understates throughput and an undersized one drops
+    # tail tiles (silently inflating it).
+    from h3dgs_tpu.ops.binning import bin_gaussians_aligned
+    from h3dgs_tpu.ops.projection import project_gaussians
+    from h3dgs_tpu.train.loop import _entry_bucket
+
+    @jax.jit
+    def probe_need(ms):
+        proj = project_gaussians(ms, jnp.asarray(scales),
+                                 jnp.asarray(quats), jnp.asarray(opac),
+                                 jnp.asarray(shs), cam, 3)
+        bins = bin_gaussians_aligned(proj, HEIGHT, WIDTH,
+                                     max_entries=1 << 13,
+                                     max_per_tile=4096, chunk_e=128)
+        return jnp.maximum(bins.total_entries, bins.aligned_entries)
+
+    n_need = int(probe_need(jnp.asarray(means)))
+    budget = _entry_bucket(n_need, floor=1 << 13, cap=1 << 23)
     budget = -(-budget // 1024) * 1024  # divisible by every swept chunk_e
+    import sys
+    print(f"  entry need {n_need} -> budget {budget}", file=sys.stderr,
+          flush=True)
     base = RasterizeConfig(max_entries=budget, max_per_tile=4096,
                            chunk_e=512, quantum=128)
     bg = jnp.zeros(3, jnp.float32)
