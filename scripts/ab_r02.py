@@ -87,7 +87,30 @@ def main(iters=8):
 
     print("backend:", jax.devices()[0].device_kind, flush=True)
     params, cam = scene()
-    base = RasterizeConfig(max_entries=1 << 21, max_per_tile=4096,
+
+    # Same trainer-style budget sizing as bench.py: the D-proportional ops
+    # scale with the budget, so the A/B must run at the bucket the adaptive
+    # trainer would converge to for this scene.
+    import jax.numpy as jnp
+
+    from h3dgs_tpu.ops.binning import bin_gaussians_aligned
+    from h3dgs_tpu.ops.projection import project_gaussians
+    from h3dgs_tpu.train.loop import _entry_bucket
+
+    @jax.jit
+    def probe_need(ms):
+        proj = project_gaussians(ms, params[1], params[2], params[3],
+                                 params[4], cam, 3)
+        bins = bin_gaussians_aligned(proj, HEIGHT, WIDTH,
+                                     max_entries=1 << 13,
+                                     max_per_tile=4096, chunk_e=128)
+        return jnp.maximum(bins.total_entries, bins.aligned_entries)
+
+    n_need = int(probe_need(params[0]))
+    budget = -(-_entry_bucket(n_need, floor=1 << 13, cap=1 << 23)
+               // 1024) * 1024
+    print(f"entry need {n_need} -> budget {budget}", flush=True)
+    base = RasterizeConfig(max_entries=budget, max_per_tile=4096,
                            chunk_e=512, quantum=128)
 
     # On-chip correctness gate before timing: this backend has a history
