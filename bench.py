@@ -80,33 +80,16 @@ def main():
 
     cam = look_at_camera(eye=(0.0, -1.0, -6.0), target=(0, 0, 0), fovx=1.2,
                          width=WIDTH, height=HEIGHT)
-    # Budget sized exactly as the adaptive trainer would: probe the true
-    # quantum-aligned slot need of this scene (exact regardless of the
-    # probe's own buffer — counts are computed before clamping) and take
-    # the quarter-ladder bucket with 1.2x headroom. Every D-proportional
-    # cost (sort, pack, blend grid, scatter) scales with the BUDGET, so an
-    # oversized buffer understates throughput and an undersized one drops
-    # tail tiles (silently inflating it).
-    from h3dgs_tpu.ops.binning import bin_gaussians_aligned
-    from h3dgs_tpu.ops.projection import project_gaussians
-    from h3dgs_tpu.train.loop import _entry_bucket
+    # Budget sized exactly as the adaptive trainer would (see
+    # entry_budget_for_scene: exact two-probe aligned-need measurement +
+    # the trainer's quarter-ladder bucket).
+    from h3dgs_tpu.train.loop import entry_budget_for_scene
 
-    @jax.jit
-    def probe_need(ms):
-        proj = project_gaussians(ms, jnp.asarray(scales),
-                                 jnp.asarray(quats), jnp.asarray(opac),
-                                 jnp.asarray(shs), cam, 3)
-        bins = bin_gaussians_aligned(proj, HEIGHT, WIDTH,
-                                     max_entries=1 << 13,
-                                     max_per_tile=4096, chunk_e=128)
-        return jnp.maximum(bins.total_entries, bins.aligned_entries)
-
-    n_need = int(probe_need(jnp.asarray(means)))
-    budget = _entry_bucket(n_need, floor=1 << 13, cap=1 << 23)
-    budget = -(-budget // 1024) * 1024  # divisible by every swept chunk_e
+    budget = entry_budget_for_scene(
+        jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+        jnp.asarray(opac), jnp.asarray(shs), cam, 3)
     import sys
-    print(f"  entry need {n_need} -> budget {budget}", file=sys.stderr,
-          flush=True)
+    print(f"  budget {budget}", file=sys.stderr, flush=True)
     base = RasterizeConfig(max_entries=budget, max_per_tile=4096,
                            chunk_e=512, quantum=128)
     bg = jnp.zeros(3, jnp.float32)
@@ -124,11 +107,21 @@ def main():
                 return photometric_loss(out["render"], target)
 
             grads = jax.grad(loss_fn)(params)
-            return sum(jnp.sum(g) for g in grads)
+            # Probe scalar: sum of |g| — positive terms, so legitimate
+            # accumulation-order noise between kernel configs (e.g. the
+            # asymmetric-width backward regroups its matmuls) stays a
+            # ~1e-6 relative perturbation instead of being amplified by
+            # cancellation in a signed sum.
+            return sum(jnp.sum(jnp.abs(g)) for g in grads)
         return step
 
-    def timed(step, iters, salt0=0.0):
-        ref = float(step(params, target, jnp.float32(salt0)))  # warm/sync
+    def timed(step, iters, salt0):
+        # Warm/compile at salt 0.0 for EVERY candidate: the returned probe
+        # value must come from identical inputs to be comparable. The
+        # timed iterations use a per-candidate salt0 offset so no two
+        # timings ever replay an identical dispatch (the tunnel content-
+        # caches repeats, which would gift re-timed configs a fake win).
+        ref = float(step(params, target, jnp.float32(0.0)))
         t0 = time.perf_counter()
         outs = [step(params, target,
                      jnp.float32(salt0 + (i + 1) * 1e-7))
@@ -150,10 +143,10 @@ def main():
     import sys
     trials = {}
     losses = {}
-    for name, cfg in candidates.items():
+    for k, (name, cfg) in enumerate(candidates.items()):
         try:
             trials[name], losses[name] = timed(
-                make_step(cfg), 3, salt0=0.0)
+                make_step(cfg), 3, salt0=1e-4 * (k + 1))
             print(f"  {name}: {trials[name] * 1e3:.2f} ms "
                   f"probe={losses[name]:.6f}", file=sys.stderr, flush=True)
         except Exception as ex:
@@ -194,9 +187,10 @@ def main():
                                                    bwd_chunk_e=256)
     if len(stage2) > 1:
         t2, l2 = {}, {}
-        for name, cfg in stage2.items():
+        for k, (name, cfg) in enumerate(stage2.items()):
             try:
-                t2[name], l2[name] = timed(make_step(cfg), 3, salt0=0.0)
+                t2[name], l2[name] = timed(make_step(cfg), 3,
+                                           salt0=1e-2 + 1e-4 * (k + 1))
                 print(f"  {name}: {t2[name] * 1e3:.2f} ms "
                       f"probe={l2[name]:.6f}", file=sys.stderr, flush=True)
             except Exception as ex:

@@ -57,6 +57,40 @@ def _entry_bucket(n_dup: int, floor: int, cap: int) -> int:
     return min(max(p, floor), cap)
 
 
+def entry_budget_for_scene(means, scales, quats, opac, shs, camera,
+                           sh_degree: int, *, max_per_tile: int = 4096,
+                           floor: int = 1 << 13, cap: int = 1 << 23) -> int:
+    """Exact trainer-style entry budget for one view of a static scene.
+
+    Two binning-only probes (no blend kernel, so the compiles are cheap):
+    ``total_entries`` is exact at any probe buffer size, but
+    ``aligned_entries`` is derived from the sorted entry array and is only
+    exact once the buffer holds every real entry — so probe 1 measures the
+    total and probe 2 re-bins with a buffer >= total to read the true
+    quantum-aligned need. Returns the same quarter-ladder bucket
+    (:func:`_entry_bucket`) the adaptive training loop converges to,
+    rounded to a 1024 multiple so every grid-step width divides it.
+    Benchmarks must use this: every D-proportional cost scales with the
+    *budget*, so an oversized buffer understates throughput and an
+    undersized one silently drops tail tiles (inflating it)."""
+    from ..ops.binning import bin_gaussians_aligned
+    from ..ops.projection import project_gaussians
+
+    def need(ms, d):
+        proj = project_gaussians(ms, scales, quats, opac, shs, camera,
+                                 sh_degree)
+        bins = bin_gaussians_aligned(proj, camera.height, camera.width,
+                                     max_entries=d,
+                                     max_per_tile=max_per_tile, chunk_e=128)
+        return bins.total_entries, bins.aligned_entries
+
+    total = int(jax.jit(need, static_argnums=1)(means, 1 << 13)[0])
+    d2 = min(-(-max(total, 1) // 1024) * 1024, cap)
+    total2, aligned = map(int, jax.jit(need, static_argnums=1)(means, d2))
+    budget = _entry_bucket(max(total2, aligned), floor, cap)
+    return -(-budget // 1024) * 1024
+
+
 def _capacity_bucket(cap: int, n_drop: int, max_cap: int) -> int:
     """Next capacity bucket after a densify drop: at least 1.5x (so growth
     events stay rare; each one recompiles the step), covering the dropped

@@ -82,7 +82,7 @@ async function frame(){
     } else { hud.textContent=`error ${r.status}: ${await r.text()}`; }
   } catch(err){ hud.textContent=String(err); }
   inflight=false;
-  if(dirty) frame(); else setTimeout(frame, 150); // idle: poll gently
+  if(dirty) frame();  // otherwise idle: events re-trigger rendering
 }
 let drag=null;
 img.addEventListener("pointerdown",ev=>{drag=[ev.clientX,ev.clientY,ev.shiftKey];
@@ -131,6 +131,7 @@ class WebViewer:
         self.tau = tau
         self.quality = quality
         self._lock = threading.Lock()
+        self._last_frame = None  # (request key, jpeg bytes, stats)
         boxes = np.asarray(renderer.boxes)
         lo = boxes[:, 0].min(axis=0)
         hi = boxes[:, 1].max(axis=0)
@@ -139,6 +140,11 @@ class WebViewer:
         viewer = self
 
         class Handler(BaseHTTPRequestHandler):
+            # Keep-alive: every response carries Content-Length, and a
+            # per-frame TCP handshake would add an RTT to every
+            # interactive frame on a remote link.
+            protocol_version = "HTTP/1.1"
+
             def log_message(self, *a):  # keep the serving terminal quiet
                 pass
 
@@ -185,27 +191,50 @@ class WebViewer:
             req.send_error(404)
 
     def _frame(self, req, q):
-        def f(name, default):
-            return float(q[name][0]) if name in q else default
+        import math
 
-        w = int(f("w", 960))
-        h = int(f("h", 540))
-        if not (16 <= w <= MAX_DIM and 16 <= h <= MAX_DIM):
-            req.send_error(400, f"resolution out of range: {w}x{h}")
+        def f(name, default):
+            v = float(q[name][0]) if name in q else default
+            if not math.isfinite(v):
+                raise ValueError(f"non-finite {name}")
+            return v
+
+        try:
+            w = int(f("w", 960))
+            h = int(f("h", 540))
+            if not (16 <= w <= MAX_DIM and 16 <= h <= MAX_DIM):
+                raise ValueError(f"resolution out of range: {w}x{h}")
+            c = self.center
+            eye = (f("ex", c[0]), f("ey", c[1]), f("ez", c[2] - self.radius))
+            target = (f("tx", c[0]), f("ty", c[1]), f("tz", c[2]))
+            fovx = f("fovx", 1.2)
+            if not 0.0 < fovx < math.pi:
+                raise ValueError(f"fovx out of range: {fovx}")
+            tau = f("tau", self.tau)
+            quality = int(f("q", self.quality))
+        except (ValueError, TypeError) as ex:
+            req.send_error(400, str(ex)[:200])  # client error, not a 500
             return
-        c = self.center
-        cam = look_at_camera(
-            eye=(f("ex", c[0]), f("ey", c[1]), f("ez", c[2] - self.radius)),
-            target=(f("tx", c[0]), f("ty", c[1]), f("tz", c[2])),
-            fovx=f("fovx", 1.2), width=w, height=h)
-        tau = f("tau", self.tau)
+        cam = look_at_camera(eye=eye, target=target, fovx=fovx,
+                             width=w, height=h)
+        key = (eye, target, fovx, w, h, tau, quality)
         with self._lock:
+            # An idle client (or several) re-requesting the same pose must
+            # not re-run the TPU splat: identical frames are bit-identical.
+            if self._last_frame is not None and self._last_frame[0] == key:
+                _, body, stats = self._last_frame
+                self._send_jpeg(req, body, stats)
+                return
             img, stats = self.renderer.render(cam, tau=tau)
-        from PIL import Image
-        buf = io.BytesIO()
-        Image.fromarray(img).save(buf, "JPEG",
-                                  quality=int(f("q", self.quality)))
-        body = buf.getvalue()
+            from PIL import Image
+            buf = io.BytesIO()
+            Image.fromarray(img).save(buf, "JPEG", quality=quality)
+            body = buf.getvalue()
+            self._last_frame = (key, body, stats)
+        self._send_jpeg(req, body, stats)
+
+    @staticmethod
+    def _send_jpeg(req, body, stats):
         req.send_response(200)
         req.send_header("Content-Type", "image/jpeg")
         req.send_header("Content-Length", str(len(body)))

@@ -43,7 +43,7 @@ def scene():
             jnp.asarray(opac), jnp.asarray(shs)), cam
 
 
-def time_cfg(params, cam, cfg, iters, label):
+def time_cfg(params, cam, cfg, iters, label, salt0=0.0):
     import jax
     import jax.numpy as jnp
 
@@ -71,7 +71,7 @@ def time_cfg(params, cam, cfg, iters, label):
     t0 = time.perf_counter()
     accs = []
     for i in range(iters):
-        accs.append(step(params, jnp.float32(1e-7 * (i + 1))))
+        accs.append(step(params, jnp.float32(salt0 + 1e-7 * (i + 1))))
     float(sum(a for a in accs))
     dt = (time.perf_counter() - t0) / iters
     mpix = WIDTH * HEIGHT / dt / 1e6
@@ -93,23 +93,10 @@ def main(iters=8):
     # trainer would converge to for this scene.
     import jax.numpy as jnp
 
-    from h3dgs_tpu.ops.binning import bin_gaussians_aligned
-    from h3dgs_tpu.ops.projection import project_gaussians
-    from h3dgs_tpu.train.loop import _entry_bucket
+    from h3dgs_tpu.train.loop import entry_budget_for_scene
 
-    @jax.jit
-    def probe_need(ms):
-        proj = project_gaussians(ms, params[1], params[2], params[3],
-                                 params[4], cam, 3)
-        bins = bin_gaussians_aligned(proj, HEIGHT, WIDTH,
-                                     max_entries=1 << 13,
-                                     max_per_tile=4096, chunk_e=128)
-        return jnp.maximum(bins.total_entries, bins.aligned_entries)
-
-    n_need = int(probe_need(params[0]))
-    budget = -(-_entry_bucket(n_need, floor=1 << 13, cap=1 << 23)
-               // 1024) * 1024
-    print(f"entry need {n_need} -> budget {budget}", flush=True)
+    budget = entry_budget_for_scene(*params, cam, 3)
+    print(f"budget {budget}", flush=True)
     base = RasterizeConfig(max_entries=budget, max_per_tile=4096,
                            chunk_e=512, quantum=128)
 
@@ -135,23 +122,35 @@ def main(iters=8):
             return jax.grad(loss)(p[0])
         return np.asarray(g(params))
 
-    g_ref = grads_for(base._replace(bwd_entries=0, prefix_mode="mxu"))
-    for name, cfg in (("bwd=auto", base._replace(bwd_entries=None)),
-                      ("roll", base._replace(bwd_entries=0,
-                                             prefix_mode="roll"))):
-        gv = grads_for(cfg)
-        ok = np.allclose(gv, g_ref, atol=3e-5, rtol=5e-3)
-        print(f"correctness {name}: "
-              f"{'OK' if ok else 'MISMATCH'} "
-              f"maxdiff={np.abs(gv - g_ref).max():.2e}", flush=True)
-        if not ok:
-            print(f"!! {name} grads diverge on-chip — do NOT promote; "
-                  f"investigate (axon miscompile pattern?)", flush=True)
+    ref_cfg = base._replace(bwd_entries=0, prefix_mode="mxu")
+    g_ref = grads_for(ref_cfg)
+    salt_seq = [0]
+
+    def check_and_time(label, cfg, iters):
+        """Gradient-gate a config on the REAL compiled path, then time it.
+
+        Mismatching configs are excluded (returned as inf, never a
+        winner), not just warned about — a fast-but-miscompiled
+        executable at the end of a long log must not get promoted to the
+        defaults. Every timing gets a distinct salt offset so no two
+        configs (or re-times of the same config) replay an identical
+        dispatch the tunnel could content-cache."""
+        if cfg != ref_cfg:
+            gv = grads_for(cfg)
+            ok = np.allclose(gv, g_ref, atol=3e-5, rtol=5e-3)
+            print(f"correctness {label}: {'OK' if ok else 'MISMATCH'} "
+                  f"maxdiff={np.abs(gv - g_ref).max():.2e}", flush=True)
+            if not ok:
+                print(f"!! {label} grads diverge on-chip — EXCLUDED "
+                      f"(axon miscompile pattern?)", flush=True)
+                return float("inf")
+        salt_seq[0] += 1
+        return time_cfg(params, cam, cfg, iters, label,
+                        salt0=1e-4 * salt_seq[0])
 
     results = {}
     variants = [
-        ("bwd=0 mxu (r1 baseline)",
-         base._replace(bwd_entries=0, prefix_mode="mxu")),
+        ("bwd=0 mxu (r1 baseline)", ref_cfg),
         ("bwd=auto mxu",
          base._replace(bwd_entries=None, prefix_mode="mxu")),
         ("bwd=0 roll",
@@ -160,7 +159,7 @@ def main(iters=8):
          base._replace(bwd_entries=None, prefix_mode="roll")),
     ]
     for label, cfg in variants:
-        results[label] = time_cfg(params, cam, cfg, iters, label)
+        results[label] = check_and_time(label, cfg, iters)
 
     best_label = min(results, key=results.get)
     print(f"\nwinner: {best_label}", flush=True)
@@ -174,8 +173,8 @@ def main(iters=8):
                      (2048, 128, 512)):
         try:
             cfg = best._replace(chunk_e=e, quantum=q, bwd_chunk_e=be)
-            time_cfg(params, cam, cfg, iters,
-                     f"winner E={e} Q={q} bwdE={be or e}")
+            check_and_time(f"winner E={e} Q={q} bwdE={be or e}", cfg,
+                           iters)
         except Exception as ex:  # e.g. VMEM overflow at E=1024 bwd
             print(f"E={e} Q={q} bwdE={be or e}: "
                   f"{type(ex).__name__}: {str(ex)[:120]}", flush=True)

@@ -261,19 +261,34 @@ def test_web_viewer_endpoints(tmp_path):
         assert img.shape == (48, 64, 3)
         assert img.max() > 0  # scene visible
 
-        # Same pose again: the cut cache serves it.
+        # Exactly the same request: served from the last-frame JPEG cache
+        # (bit-identical body, no re-render).
         conn.request("GET", f"/frame?ex={c[0]}&ey={c[1]}&ez={c[2]-rad}"
+                            f"&tx={c[0]}&ty={c[1]}&tz={c[2]}"
+                            f"&w=64&h=48&tau=0.0")
+        resp = conn.getresponse()
+        assert resp.read() == body
+
+        # Nudged pose within the hysteresis bound: the renderer-level
+        # cut cache serves the re-render.
+        conn.request("GET", f"/frame?ex={c[0]}&ey={c[1]}&ez={c[2]-rad*1.001}"
                             f"&tx={c[0]}&ty={c[1]}&tz={c[2]}"
                             f"&w=64&h=48&tau=0.0")
         resp = conn.getresponse()
         resp.read()
         assert resp.getheader("X-Cut-Reused") == "1"
 
-        # Absurd resolution is rejected, not compiled.
-        conn.request("GET", "/frame?w=100000&h=8")
-        resp = conn.getresponse()
-        resp.read()
-        assert resp.status == 400
         conn.close()
+        # Absurd resolution / malformed params are client errors (400),
+        # not compiles or 500s. (Fresh connection per request: send_error
+        # replies Connection: close, ending the keep-alive session.)
+        for bad in ("w=100000&h=8", "w=abc", "fovx=nan", "fovx=9"):
+            c2 = http.client.HTTPConnection("127.0.0.1", v.port,
+                                            timeout=30)
+            c2.request("GET", f"/frame?{bad}")
+            resp = c2.getresponse()
+            resp.read()
+            assert resp.status == 400, bad
+            c2.close()
     finally:
         v.stop()
