@@ -102,3 +102,29 @@ def test_aligned_stream_matches_bruteforce(seed):
         # padding after the run is -1 up to the quantum boundary
         pad_end = start[t] + -(-count[t] // quantum) * quantum
         assert np.all(gauss[start[t] + count[t]:pad_end] == -1)
+
+
+def test_entry_budget_probe_is_exact():
+    """entry_budget_for_scene's two-probe aligned-need measurement must
+    equal the need reported by a binning run whose buffer is plainly
+    large enough, and the returned bucket must cover it with the
+    trainer's headroom (an undersized budget silently drops tiles)."""
+    from h3dgs_tpu.train.loop import _entry_bucket, entry_budget_for_scene
+
+    means, scales, quats, opac, shs = random_scene(300, seed=11,
+                                                   sh_degree=1)
+    cam = make_test_camera(width=96, height=64)
+    args = (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+            jnp.asarray(opac), jnp.asarray(shs))
+
+    budget = entry_budget_for_scene(*args, cam, 1)
+
+    proj = project_gaussians(*args, cam, 1)
+    big = binning.bin_gaussians_aligned(proj, 64, 96,
+                                        max_entries=1 << 16,
+                                        max_per_tile=4096, chunk_e=128)
+    need = max(int(big.total_entries), int(big.aligned_entries))
+    assert need < (1 << 16), "test scene must fit the oracle buffer"
+    want = -(-_entry_bucket(need, 1 << 13, 1 << 23) // 1024) * 1024
+    assert budget == want
+    assert budget >= need or budget == 1 << 23
