@@ -106,6 +106,10 @@ class RuntimeConfig:
     bwd_entries: int = -1
     # Pallas transmittance recurrence: "mxu" or "roll" (see pallas_blend).
     prefix_mode: str = "mxu"
+    # Backward grid-step width (0 = same as chunk_e): the backward's VMEM
+    # scope is ~2x the forward's, so a wide forward (e.g. 1024) pairs with
+    # a narrower backward. Multiple of quantum, divides the entry budget.
+    bwd_chunk_e: int = 0
     # In-step view data parallelism: shard a batch of views over this many
     # devices (parallel/step.make_dp_train_step); 1 = single-device loop.
     data_devices: int = 1

@@ -38,7 +38,8 @@ def raster_config(cfg: FullConfig) -> RasterizeConfig:
                            quantum=r.quantum,
                            bwd_entries=(None if r.bwd_entries < 0
                                         else r.bwd_entries),
-                           prefix_mode=r.prefix_mode)
+                           prefix_mode=r.prefix_mode,
+                           bwd_chunk_e=r.bwd_chunk_e)
 
 
 def _entry_bucket(n_dup: int, floor: int, cap: int) -> int:
