@@ -52,6 +52,10 @@ run ab_r02 3600 $PY scripts/ab_r02.py $AB_ITERS
 # 2. Stage-level breakdown at the current defaults (updates SOL.md table).
 run profile_stages 2400 $PY scripts/profile_stages.py
 
+# 2b. Binning/backward micro-profile incl. the scatter-strategy A/B
+#     (round-3 K-slot scatter candidate).
+run profile_micro 2400 $PY scripts/profile_micro.py
+
 # 3. The headline bench (self-tunes over lever combos in-run).
 run bench 2400 env BENCH_ITERS=$BENCH_ITERS $PY bench.py
 

@@ -144,6 +144,37 @@ def main():
                  (dentries,))
     print(f"bwd entry scatter-add : {t * 1e3:8.2f} ms")
 
+    # --- scatter-strategy A/B (round-3 candidate) ---
+    # Hypothesis: XLA scatter-ADD pays an RMW/serialization cost beyond
+    # the plain-scatter issue rate (observed 16 ns/row vs the ~3.6 ns/row
+    # gather floor). If spreading each Gaussian's updates over K slots
+    # (dst = gauss*K + stream_pos%K, conflicts only when positions
+    # collide mod K) recovers most of the gap, the real scatter can
+    # become K-slot scatter + a dense [N,K,16] reduction (~0.25 ms HBM).
+    safe = jnp.where(bins.gauss_idx >= 0, bins.gauss_idx, n)
+    pos = jnp.arange(d, dtype=jnp.int32)
+    for k in (4, 8, 16):
+        dst = safe * k + pos % k
+
+        def kslot(de, dst=dst, k=k):
+            acc = jnp.zeros(((n + 1) * k, 16), jnp.float32).at[dst].add(
+                de.T, mode="drop")
+            return jnp.sum(acc.reshape(n + 1, k, 16), axis=1)[:n]
+
+        t = bench_fn(lambda de: kslot(de), (dentries,))
+        print(f"K-slot scatter (K={k:2d}) : {t * 1e3:8.2f} ms")
+
+    # Plain-scatter floor: strictly unique destinations, no accumulation
+    # semantics needed (mode=drop overwrite).
+    uniq = pos % ((n + 1) * 16)
+
+    def plain(de):
+        return jnp.zeros(((n + 1) * 16, 16), jnp.float32).at[uniq].set(
+            de.T, mode="drop")
+
+    t = bench_fn(lambda de: plain(de), (dentries,))
+    print(f"unique plain scatter  : {t * 1e3:8.2f} ms")
+
 
 if __name__ == "__main__":
     main()
