@@ -175,6 +175,42 @@ def main():
     t = bench_fn(lambda de: plain(de), (dentries,))
     print(f"unique plain scatter  : {t * 1e3:8.2f} ms")
 
+    # --- design probes for round-3 binning candidates ---
+    # (a) 1-key vs 2-key D-sort: gates the gaussian depth-presort idea
+    #     (presort N by depth, then a stable tile-only sort preserves
+    #     depth order per tile; see SOL.md ledger).
+    keys32 = jnp.asarray(rng.integers(0, 8160, size=d).astype(np.int32))
+    depth32 = jnp.asarray(rng.integers(0, 1 << 30, size=d).astype(np.int32))
+    payload = jnp.asarray(rng.integers(0, n, size=d).astype(np.int32))
+    t = bench_fn(lambda k: jax.lax.sort((k, depth32, payload), num_keys=2),
+                 (keys32,))
+    print(f"2-key D-sort          : {t * 1e3:8.2f} ms")
+    t = bench_fn(lambda k: jax.lax.sort((k, payload), num_keys=1),
+                 (keys32,))
+    print(f"1-key D-sort          : {t * 1e3:8.2f} ms")
+    t = bench_fn(lambda x: jax.lax.sort((x, payload), num_keys=1),
+                 (jnp.asarray(rng.normal(size=n).astype(np.float32)),))
+    print(f"1-key N-sort          : {t * 1e3:8.2f} ms")
+
+    # (b) i32 vs i64 cummax over D: gates replacing the [D,8] row gather
+    #     with run-start scatters + monotone (gauss<<32 | bits) fills.
+    t = bench_fn(lambda x: jax.lax.cummax(x), (keys32,))
+    print(f"i32 cummax over D     : {t * 1e3:8.2f} ms")
+    with jax.enable_x64(True):  # i64 is emulated on TPU
+        k64 = (keys32.astype(jnp.int64) << 32) | depth32.astype(jnp.int64)
+        t = bench_fn(lambda x: jax.lax.cummax(x), (k64,))
+    print(f"i64 cummax over D     : {t * 1e3:8.2f} ms")
+
+    # (c) N-row scatter of [N,8] rows into a [D,8] buffer (the run-start
+    #     seeding step of the gather-free variant).
+    starts = jnp.asarray(
+        np.sort(rng.choice(d, size=n, replace=False)).astype(np.int32))
+    rows8 = jnp.asarray(rng.normal(size=(n, 8)).astype(np.float32))
+    t = bench_fn(
+        lambda r: jnp.zeros((d, 8), jnp.float32).at[starts].set(r),
+        (rows8,))
+    print(f"N-row scatter to [D,8]: {t * 1e3:8.2f} ms")
+
 
 if __name__ == "__main__":
     main()
