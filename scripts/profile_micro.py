@@ -201,6 +201,15 @@ def main():
         t = bench_fn(lambda x: jax.lax.cummax(x), (k64,))
     print(f"i64 cummax over D     : {t * 1e3:8.2f} ms")
 
+    # (b2) i32 cumsum over [D,8] along axis 0: the fill step of the
+    #      delta-cumsum gather replacement (SOL.md round-3 ledger) —
+    #      run-start deltas telescope exactly in mod-2^32 arithmetic, so
+    #      one cumsum reproduces ANY per-run-constant bit pattern.
+    d8 = jnp.asarray(rng.integers(-(1 << 30), 1 << 30,
+                                  size=(d, 8)).astype(np.int32))
+    t = bench_fn(lambda x: jnp.cumsum(x, axis=0), (d8,))
+    print(f"i32 cumsum [D,8] ax0  : {t * 1e3:8.2f} ms")
+
     # (c) N-row scatter of [N,8] rows into a [D,8] buffer (the run-start
     #     seeding step of the gather-free variant).
     starts = jnp.asarray(
