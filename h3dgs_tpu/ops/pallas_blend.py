@@ -117,6 +117,9 @@ class PallasBlendConfig(NamedTuple):
     #            (products of om <= 1 cannot overflow; underflow below
     #            f32 tiny means the pixel terminated anyway).
     prefix_mode: str = "mxu"
+    # K-slot gradient scatter (0 = plain scatter-add): see
+    # scatter_entry_grads / SOL.md round-3 candidate B.
+    scatter_k: int = 0
 
 
 def _pixel_coords(owner, tiles_x: int, tile: int, p: int, dtype):
@@ -592,15 +595,28 @@ def pack_entries(means2d, conic, rgb, opacity, inv_depth,
     return pack_rows(means2d, conic, rgb, opacity, inv_depth, gauss_idx).T
 
 
-def scatter_entry_grads(dentries, gauss_idx, n: int):
+def scatter_entry_grads(dentries, gauss_idx, n: int, k_slots: int = 0):
     """Scatter-add per-entry gradients back to per-Gaussian arrays.
 
     One [D,16]-row scatter-add (contiguous 64-byte updates) instead of ten
-    scalar scatters."""
+    scalar scatters. ``k_slots`` > 0 spreads each Gaussian's updates over
+    K destinations (dst = gauss*K + stream_pos%K) followed by a dense
+    [N,K,16] reduction — same result under add semantics, but with ~K-fold
+    fewer conflicts per address, probing whether XLA scatter-add's cost
+    over the plain-scatter floor is RMW serialization (SOL.md candidate B).
+    """
     safe = jnp.where(gauss_idx >= 0, gauss_idx, n)
     rows = dentries.T                                      # [D, 16]
-    acc = jnp.zeros((n + 1, N_ROWS), jnp.float32).at[safe].add(
-        rows, mode="drop")[:n]
+    if k_slots:
+        k = k_slots
+        pos = jnp.arange(rows.shape[0], dtype=jnp.int32)
+        dst = safe * k + pos % k
+        acc = jnp.zeros(((n + 1) * k, N_ROWS), jnp.float32).at[dst].add(
+            rows, mode="drop")
+        acc = jnp.sum(acc.reshape(n + 1, k, N_ROWS), axis=1)[:n]
+    else:
+        acc = jnp.zeros((n + 1, N_ROWS), jnp.float32).at[safe].add(
+            rows, mode="drop")[:n]
     d_means2d = acc[:, R_MX:R_MY + 1]
     d_conic = acc[:, R_CA:R_CC + 1]
     d_rgb = acc[:, R_R:R_B + 1]
@@ -675,7 +691,8 @@ def _blend_bwd(n_tiles, tiles_x, tile, cfg, res, g):
         grads_chunks = g[jnp.maximum(own, 0)]                # [C, 8, P]
         dentries = pallas_blend_bwd(packed, own, grads_chunks,
                                     tiles_x=tiles_x, tile=tile, cfg=cfg)
-        return scatter_entry_grads(dentries, gidx, n)
+        return scatter_entry_grads(dentries, gidx, n,
+                                   k_slots=cfg.scatter_k)
 
     if not cfg.bwd_entries:
         grads = run(stream, owner, gauss_idx)

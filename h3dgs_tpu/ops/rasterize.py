@@ -62,6 +62,14 @@ class RasterizeConfig(NamedTuple):
     # Backward grid-step width (0 = chunk_e): lets a wide forward pair
     # with a narrower backward (the bwd kernel's VMEM scope is ~2x).
     bwd_chunk_e: int = 0
+    # K-slot gradient scatter (0 = plain scatter-add): spread each
+    # Gaussian's updates over K destinations + dense [N,K,16] reduce
+    # (pallas_blend.scatter_entry_grads, SOL.md round-3 candidate B).
+    scatter_k: int = 0
+    # Per-entry table construction in binning: "gather" ([D,8] row
+    # gather) or "cumsum" (run-start delta scatter + mod-2^32 telescoping
+    # cumsum fill — bit-exact, SOL.md round-3 candidate C).
+    binning_fill: str = "gather"
     # Mesh axis name to shard the per-tile blend over (pixels/tiles are the
     # natural SPMD axis of splatting). Requires an ambient mesh
     # (jax.set_mesh); Gaussian/entry arrays stay replicated and XLA inserts
@@ -241,7 +249,8 @@ def blend_tiles_pallas(proj: ProjectedGaussians, height: int, width: int,
             f"chunk_e ({config.chunk_e}); otherwise the blend grid leaves "
             "trailing quanta unprocessed but still consumed downstream")
     bins = bin_gaussians_aligned(proj, height, width, config.max_entries,
-                                 config.max_per_tile, quantum, tile)
+                                 config.max_per_tile, quantum, tile,
+                                 fill=config.binning_fill)
     bwd_entries = config.bwd_entries
     if bwd_entries is None:
         bwd_entries = max(config.max_entries // 2, config.chunk_e)
@@ -262,7 +271,7 @@ def blend_tiles_pallas(proj: ProjectedGaussians, height: int, width: int,
         chunk_e=config.chunk_e, quantum=quantum,
         bwd_chunk_e=config.bwd_chunk_e,
         interpret=not _on_tpu(), bwd_entries=bwd_entries,
-        prefix_mode=config.prefix_mode)
+        prefix_mode=config.prefix_mode, scatter_k=config.scatter_k)
     inv_depth = 1.0 / jnp.maximum(proj.depth, 1e-6)
     n_q_per_tile = -(-bins.tile_count // quantum)
     # Tiles whose aligned run overflows the buffer lost their quanta —

@@ -128,3 +128,48 @@ def test_entry_budget_probe_is_exact():
     want = -(-_entry_bucket(need, 1 << 13, 1 << 23) // 1024) * 1024
     assert budget == want
     assert budget >= need or budget == 1 << 23
+
+
+@pytest.mark.parametrize("seed,d", [(0, 1 << 12), (3, 1 << 12),
+                                    (5, 1 << 9)])  # 1<<9 forces overflow
+def test_cumsum_fill_matches_gather(seed, d):
+    """The delta-cumsum per-entry table (SOL round-3 candidate C) must be
+    BIT-identical to the [D,8] gather in every AlignedBins field — the
+    telescoping fill is exact in mod-2^32 arithmetic, including bitcast
+    f32 columns, run drops at the budget edge, and tail padding."""
+    means, scales, quats, opac, shs = random_scene(120, seed, sh_degree=1)
+    cam = make_test_camera(width=64, height=48)
+    proj = project_gaussians(jnp.asarray(means), jnp.asarray(scales),
+                             jnp.asarray(quats), jnp.asarray(opac),
+                             jnp.asarray(shs), cam, 1, 1.0)
+    a = binning.bin_gaussians_aligned(proj, cam.height, cam.width, d,
+                                      64, 128, fill="gather")
+    b = binning.bin_gaussians_aligned(proj, cam.height, cam.width, d,
+                                      64, 128, fill="cumsum")
+    for name in a._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(a, name)),
+                                      np.asarray(getattr(b, name)),
+                                      err_msg=name)
+
+
+def test_cumsum_fill_degenerate_cases():
+    """Unit edges of the delta fill: no active runs (all-zero output —
+    the sentinel garbage row must never leak), a single active run at
+    position 0, and runs dropped at the budget edge."""
+    rng = np.random.default_rng(4)
+    gtab = jnp.asarray(rng.integers(-(1 << 30), 1 << 30,
+                                    size=(6, 8)).astype(np.int32))
+    d = 64
+
+    # No active runs.
+    counts = jnp.zeros(6, jnp.int32)
+    starts = jnp.full(6, d, jnp.int32)
+    out = binning._delta_cumsum_rows(gtab, counts, starts, d)
+    np.testing.assert_array_equal(np.asarray(out), 0)
+
+    # One active run covering the head; one dropped at the budget edge.
+    counts = jnp.asarray([0, 3, 0, 0, 2, 0], jnp.int32)
+    starts = jnp.asarray([d, 0, d, d, d, d], jnp.int32)  # run 4 dropped
+    out = np.asarray(binning._delta_cumsum_rows(gtab, counts, starts, d))
+    np.testing.assert_array_equal(out, np.broadcast_to(
+        np.asarray(gtab)[1], (d, 8)))

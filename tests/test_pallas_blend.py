@@ -306,3 +306,24 @@ def test_asymmetric_bwd_chunk_matches(bwd_e, bwd_entries):
     for a, b in zip(jax.tree.leaves(g_asym), jax.tree.leaves(g_sym)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-2, atol=1e-8)
+
+
+def test_kslot_scatter_matches_plain():
+    """K-slot gradient scatter (SOL round-3 candidate B) must equal the
+    plain scatter-add up to f32 accumulation-order noise (per-slot
+    partial sums reduce in a different order)."""
+    params, cam, bg = _saturated_scene(n=200, seed=21)
+    target = jnp.full((3, 32, 48), 0.4)
+
+    def grads(cfg):
+        def loss(p):
+            out = R.rasterize(*p, cam, 1, bg, config=cfg)
+            return photometric_loss(out["render"], target)
+        return jax.grad(loss)(params)
+
+    base = PL_CFG_SEG4._replace(max_entries=1 << 12)
+    g_ref = grads(base)
+    g_k = grads(base._replace(scatter_k=8))
+    for a, b in zip(jax.tree.leaves(g_k), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-2, atol=1e-7)
