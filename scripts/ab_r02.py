@@ -179,6 +179,20 @@ def main(iters=8):
             print(f"E={e} Q={q} bwdE={be or e}: "
                   f"{type(ex).__name__}: {str(ex)[:120]}", flush=True)
 
+    # Glue-op alternatives at the winning flags (SOL round-3 B and C;
+    # both bit-exact vs their defaults, so this is purely a timing race).
+    for label, cfg in (
+            ("winner + cumsum fill", best._replace(binning_fill="cumsum")),
+            ("winner + scatter_k=8", best._replace(scatter_k=8)),
+            ("winner + scatter_k=16", best._replace(scatter_k=16)),
+            ("winner + cumsum + k8", best._replace(binning_fill="cumsum",
+                                                   scatter_k=8))):
+        try:
+            check_and_time(label, cfg, iters)
+        except Exception as ex:
+            print(f"{label}: {type(ex).__name__}: {str(ex)[:120]}",
+                  flush=True)
+
 
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 8)
