@@ -208,6 +208,37 @@ def main():
             print(f"  stage-2 winner: {best2}", file=sys.stderr, flush=True)
             best_cfg = stage2[best2]
 
+    # Stage 3: glue-op alternatives (bit-exact vs the defaults — see
+    # tests — so this is purely a timing race): delta-cumsum binning
+    # fill and K-slot gradient scatter.
+    stage3 = {
+        "glue=default": best_cfg,
+        "cumsum-fill": best_cfg._replace(binning_fill="cumsum"),
+        "scatter-k8": best_cfg._replace(scatter_k=8),
+        "cumsum+k8": best_cfg._replace(binning_fill="cumsum", scatter_k=8),
+    }
+    t3, l3 = {}, {}
+    for k, (name, cfg) in enumerate(stage3.items()):
+        try:
+            t3[name], l3[name] = timed(make_step(cfg), 3,
+                                       salt0=2e-2 + 1e-4 * (k + 1))
+            print(f"  {name}: {t3[name] * 1e3:.2f} ms "
+                  f"probe={l3[name]:.6f}", file=sys.stderr, flush=True)
+        except Exception as ex:
+            print(f"  {name}: failed ({type(ex).__name__})",
+                  file=sys.stderr, flush=True)
+    ref3 = l3.get("glue=default")
+    if ref3 is not None:
+        for name in list(t3):
+            if abs(l3[name] - ref3) > 1e-4 * max(abs(ref3), 1e-3):
+                print(f"  {name}: GRAD-PROBE MISMATCH — excluded",
+                      file=sys.stderr, flush=True)
+                del t3[name]
+    if t3:
+        best3 = min(t3, key=t3.get)
+        print(f"  stage-3 winner: {best3}", file=sys.stderr, flush=True)
+        best_cfg = stage3[best3]
+
     dt, _ = timed(make_step(best_cfg), ITERS, salt0=0.5)
 
     mpix_s = (WIDTH * HEIGHT / 1e6) / dt
