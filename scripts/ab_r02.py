@@ -168,9 +168,12 @@ def main(iters=8):
     # E/Q re-sweep at the winning flags. be = backward grid-step width
     # (0 = symmetric); the wide-forward rows pair with a narrower
     # backward because the bwd kernel's VMEM scope is ~2x the forward's.
+    # Q=64 rows: finer quanta cut the aligned stream's padding (~8% at
+    # the bench point); with roll-mode prefixes the historical Q-width
+    # MXU-utilization penalty does not apply.
     for e, q, be in ((256, 128, 0), (512, 128, 0), (512, 256, 0),
                      (1024, 128, 0), (1024, 128, 512), (1024, 128, 256),
-                     (2048, 128, 512)):
+                     (2048, 128, 512), (512, 64, 0), (256, 64, 0)):
         try:
             cfg = best._replace(chunk_e=e, quantum=q, bwd_chunk_e=be)
             check_and_time(f"winner E={e} Q={q} bwdE={be or e}", cfg,
