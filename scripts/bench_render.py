@@ -117,6 +117,20 @@ def main():
             acc.append(splat(cam_stack, i % 16, flat))
         float(sum(jnp.sum(a) for a in acc))
         dt_s = (time.perf_counter() - t0) / iters
+        # Banded latency model (VERDICT item 5): pixel-band sharding
+        # splits the splat across devices (parallel/band_render.py is
+        # bit-exact vs single-device under test); each band bins/blends
+        # its own pixel rows, so per-device splat time ~ t_splat *
+        # (band's share of entries ~ 1/n + per-band fixed overheads
+        # ~15%). The cut is selected once and replicated (cached-cut
+        # regime). Real 8-chip numbers need hardware this environment
+        # does not have; this line records the model next to the
+        # measured single-chip components it is built from.
+        for n_bands in (8,):
+            t_model = dt_s * (1.0 / n_bands + 0.15)
+            print(f"tau={tau:5.1f}: modeled {n_bands}-band cached-cut "
+                  f"{t_model * 1e3:7.2f} ms ({1.0 / t_model:5.2f} fps)"
+                  f" [model, not a measurement]")
         print(f"tau={tau:5.1f}: cut={int(count):7d}  "
               f"full {dt * 1e3:7.2f} ms ({1.0 / dt:5.2f} fps)  "
               f"cached-cut {dt_s * 1e3:7.2f} ms ({1.0 / dt_s:5.2f} fps) "
