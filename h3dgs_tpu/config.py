@@ -8,7 +8,6 @@ dataclasses (see cli/common.py), preserving the reference's flag names.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional
 
 
 @dataclasses.dataclass

@@ -22,7 +22,6 @@ Algorithm (vectorized numpy, level-by-level — no per-node recursion):
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import Sequence
 
 import numpy as np

@@ -23,7 +23,6 @@ verified against ops.reference in tests.
 """
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional
 
 import jax

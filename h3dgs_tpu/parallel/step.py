@@ -15,7 +15,6 @@ on a 1x1 mesh it degenerates to the single-chip step.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

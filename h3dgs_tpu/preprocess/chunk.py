@@ -14,7 +14,6 @@ import dataclasses
 import json
 import os
 import random
-from typing import Optional
 
 import numpy as np
 

@@ -15,7 +15,6 @@ from typing import NamedTuple
 import numpy as np
 
 from ..io import colmap as C
-from .reorient import camera_centers
 
 
 class Sim3(NamedTuple):

@@ -12,7 +12,6 @@ utils/camera_utils.py:20-83.
 from __future__ import annotations
 
 import concurrent.futures as cf
-import math
 from typing import List, Optional, Sequence
 
 import numpy as np

@@ -21,7 +21,6 @@ from ..ops import adam as adam_lib
 from ..ops.rasterize import RasterizeConfig
 from ..model import state as state_lib
 from ..scene.scene import Scene
-from ..utils import schedules
 from . import checkpoint as ckpt_lib
 from .post_step import make_post_train_step, sample_limit
 from .step import ViewBatch, densify_step, make_train_step, reset_opacity_step

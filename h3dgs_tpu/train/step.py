@@ -13,7 +13,6 @@ static fields so one compilation serves all views at a resolution.
 """
 from __future__ import annotations
 
-import dataclasses
 import functools
 from typing import NamedTuple, Optional
 

@@ -14,7 +14,6 @@ README.md:233-235). Exposes:
 """
 from __future__ import annotations
 
-import functools
 import math
 import os
 from typing import Optional
