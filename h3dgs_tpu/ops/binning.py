@@ -292,6 +292,12 @@ def bin_gaussians_aligned(proj: ProjectedGaussians, height: int, width: int,
     # alpha < 1/255), so dropping them is lossless — it just shrinks
     # per-tile lists, which everything downstream scales with. Condition:
     # d_e^2 > t_cmp = 2*ln(255*opac)/lam_min.
+    # Interplay with max_per_tile: when the per-tile cap binds, this path
+    # keeps the first K *surviving* entries while the uncull'd XLA path
+    # caps raw counts (zero-contribution entries occupy slots) — the
+    # culled path then renders with MORE real contributors, i.e. closer
+    # to the uncapped image, so images may legitimately differ between
+    # backends in the truncation regime.
     ca = proj.conic[:, 0]
     cb = proj.conic[:, 1]
     cc = proj.conic[:, 2]
