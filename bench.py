@@ -129,115 +129,82 @@ def main():
         float(outs[-1])   # one device stream: last done => all done
         return (time.perf_counter() - t0) / iters, ref
 
-    # Self-tuning: the round-2 kernel levers (backward termination
-    # truncation, roll-mode recurrence) are scene-dependent; pick the
+    # Self-tuning: the kernel levers are scene-dependent; pick the
     # fastest combo in-run (same honest timing, compile cached), then
-    # measure the full ITERS with the winner.
-    candidates = {
+    # measure the full ITERS with the winner. Every stage applies the
+    # same correctness gate: identical inputs (warm salt 0.0) must give
+    # the same gradient-magnitude probe on every candidate — a fast-but-
+    # miscompiled executable (this backend has produced
+    # executable-specific miscompiles before) must never win on speed.
+    import sys
+
+    salt_base = [0.0]
+
+    def run_stage(title, configs, ref_name, fallback_cfg):
+        """Time candidates, exclude grad-probe mismatches vs ref_name,
+        return the fastest survivor (fallback_cfg if everything fails OR
+        the reference itself failed — without a reference probe nothing
+        is verified, so nothing may be promoted)."""
+        salt_base[0] += 1e-2
+        times, probes = {}, {}
+        for k, (name, cfg) in enumerate(configs.items()):
+            try:
+                times[name], probes[name] = timed(
+                    make_step(cfg), 3, salt0=salt_base[0] + 1e-4 * (k + 1))
+                print(f"  {name}: {times[name] * 1e3:.2f} ms "
+                      f"probe={probes[name]:.6f}", file=sys.stderr,
+                      flush=True)
+            except Exception as ex:
+                print(f"  {name}: failed ({type(ex).__name__})",
+                      file=sys.stderr, flush=True)
+        ref_probe = probes.get(ref_name)
+        if ref_probe is None:
+            print(f"  {title}: reference '{ref_name}' failed — stage "
+                  "skipped (no unverified promotion)", file=sys.stderr,
+                  flush=True)
+            return fallback_cfg
+        for name in list(times):
+            if abs(probes[name] - ref_probe) > 1e-4 * max(abs(ref_probe),
+                                                          1e-3):
+                print(f"  {name}: GRAD-PROBE MISMATCH vs {ref_name} "
+                      f"({probes[name]} != {ref_probe}) — excluded",
+                      file=sys.stderr, flush=True)
+                del times[name]
+        best = min(times, key=times.get)
+        print(f"  {title} winner: {best}", file=sys.stderr, flush=True)
+        return configs[best]
+
+    # Stage 1: backward truncation x prefix mode.
+    best_cfg = run_stage("stage-1", {
         "bwd=0,mxu": base._replace(bwd_entries=0, prefix_mode="mxu"),
         "bwd=auto,mxu": base._replace(bwd_entries=None, prefix_mode="mxu"),
         "bwd=0,roll": base._replace(bwd_entries=0, prefix_mode="roll"),
         "bwd=auto,roll": base._replace(bwd_entries=None,
                                        prefix_mode="roll"),
-    }
-    import sys
-    trials = {}
-    losses = {}
-    for k, (name, cfg) in enumerate(candidates.items()):
-        try:
-            trials[name], losses[name] = timed(
-                make_step(cfg), 3, salt0=1e-4 * (k + 1))
-            print(f"  {name}: {trials[name] * 1e3:.2f} ms "
-                  f"probe={losses[name]:.6f}", file=sys.stderr, flush=True)
-        except Exception as ex:
-            print(f"  {name}: failed ({type(ex).__name__})",
-                  file=sys.stderr, flush=True)
-    # Correctness gate: identical inputs (salt0=0) must give the same
-    # loss scalar on every combo — a fast-but-miscompiled kernel (this
-    # backend has produced executable-specific miscompiles before) must
-    # not win the tuning.
-    ref_loss = losses.get("bwd=0,mxu")
-    if ref_loss is not None:
-        for name in list(trials):
-            if abs(losses[name] - ref_loss) > 1e-4 * max(abs(ref_loss),
-                                                         1e-3):
-                print(f"  {name}: GRAD-PROBE MISMATCH vs base "
-                      f"({losses[name]} != {ref_loss}) — excluded",
-                      file=sys.stderr, flush=True)
-                del trials[name]
-    if trials:
-        best = min(trials, key=trials.get)
-    else:
-        # Every candidate failed (e.g. broken backend): run the r1-style
-        # base config so the real error surfaces from the measurement.
-        best = "bwd=0,mxu"
-        print("  all candidates failed; falling back to base config",
-              file=sys.stderr, flush=True)
-    print(f"  winner: {best}", file=sys.stderr, flush=True)
-    best_cfg = candidates[best]
+    }, ref_name="bwd=0,mxu",
+        fallback_cfg=base._replace(bwd_entries=0, prefix_mode="mxu"))
 
     # Stage 2: grid-step width at the winning flags. A wide forward pairs
-    # with a narrower backward (bwd_chunk_e) because the backward kernel's
-    # VMEM scope is ~2x the forward's.
-    stage2 = {best: best_cfg}
+    # with a narrower backward (bwd_chunk_e): the backward kernel's VMEM
+    # scope is ~2x the forward's.
     if best_cfg.max_entries % 1024 == 0:
-        stage2["E1024/bwd512"] = best_cfg._replace(chunk_e=1024,
-                                                   bwd_chunk_e=512)
-        stage2["E1024/bwd256"] = best_cfg._replace(chunk_e=1024,
-                                                   bwd_chunk_e=256)
-    if len(stage2) > 1:
-        t2, l2 = {}, {}
-        for k, (name, cfg) in enumerate(stage2.items()):
-            try:
-                t2[name], l2[name] = timed(make_step(cfg), 3,
-                                           salt0=1e-2 + 1e-4 * (k + 1))
-                print(f"  {name}: {t2[name] * 1e3:.2f} ms "
-                      f"probe={l2[name]:.6f}", file=sys.stderr, flush=True)
-            except Exception as ex:
-                print(f"  {name}: failed ({type(ex).__name__})",
-                      file=sys.stderr, flush=True)
-        ref2 = l2.get(best)
-        if ref2 is not None:
-            for name in list(t2):
-                if abs(l2[name] - ref2) > 1e-4 * max(abs(ref2), 1e-3):
-                    print(f"  {name}: GRAD-PROBE MISMATCH — excluded",
-                          file=sys.stderr, flush=True)
-                    del t2[name]
-        if t2:
-            best2 = min(t2, key=t2.get)
-            print(f"  stage-2 winner: {best2}", file=sys.stderr, flush=True)
-            best_cfg = stage2[best2]
+        best_cfg = run_stage("stage-2", {
+            "E=asis": best_cfg,
+            "E1024/bwd512": best_cfg._replace(chunk_e=1024,
+                                              bwd_chunk_e=512),
+            "E1024/bwd256": best_cfg._replace(chunk_e=1024,
+                                              bwd_chunk_e=256),
+        }, ref_name="E=asis", fallback_cfg=best_cfg)
 
     # Stage 3: glue-op alternatives (bit-exact vs the defaults — see
     # tests — so this is purely a timing race): delta-cumsum binning
     # fill and K-slot gradient scatter.
-    stage3 = {
+    best_cfg = run_stage("stage-3", {
         "glue=default": best_cfg,
         "cumsum-fill": best_cfg._replace(binning_fill="cumsum"),
         "scatter-k8": best_cfg._replace(scatter_k=8),
         "cumsum+k8": best_cfg._replace(binning_fill="cumsum", scatter_k=8),
-    }
-    t3, l3 = {}, {}
-    for k, (name, cfg) in enumerate(stage3.items()):
-        try:
-            t3[name], l3[name] = timed(make_step(cfg), 3,
-                                       salt0=2e-2 + 1e-4 * (k + 1))
-            print(f"  {name}: {t3[name] * 1e3:.2f} ms "
-                  f"probe={l3[name]:.6f}", file=sys.stderr, flush=True)
-        except Exception as ex:
-            print(f"  {name}: failed ({type(ex).__name__})",
-                  file=sys.stderr, flush=True)
-    ref3 = l3.get("glue=default")
-    if ref3 is not None:
-        for name in list(t3):
-            if abs(l3[name] - ref3) > 1e-4 * max(abs(ref3), 1e-3):
-                print(f"  {name}: GRAD-PROBE MISMATCH — excluded",
-                      file=sys.stderr, flush=True)
-                del t3[name]
-    if t3:
-        best3 = min(t3, key=t3.get)
-        print(f"  stage-3 winner: {best3}", file=sys.stderr, flush=True)
-        best_cfg = stage3[best3]
+    }, ref_name="glue=default", fallback_cfg=best_cfg)
 
     dt, _ = timed(make_step(best_cfg), ITERS, salt0=0.5)
 

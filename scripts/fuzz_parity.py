@@ -72,6 +72,30 @@ def trial(seed: int) -> str:
                             max_per_tile=cfg.max_per_tile, chunk=16,
                             backend="xla")
 
+    # Glue-path invariants hold in EVERY regime (including overflow and
+    # truncation, where their drop logic actually runs): the cumsum fill
+    # must reproduce the gather-built AlignedBins bit-for-bit, and the
+    # K-slot scatter must match plain scatter-add.
+    from h3dgs_tpu.ops.binning import (bin_gaussians, bin_gaussians_aligned)
+    from h3dgs_tpu.ops.pallas_blend import scatter_entry_grads
+    from h3dgs_tpu.ops.projection import project_gaussians
+    proj = project_gaussians(*params, cam, 1)
+    ag = bin_gaussians_aligned(proj, cam.height, cam.width, budget,
+                               cfg.max_per_tile, quantum, fill="gather")
+    ac = bin_gaussians_aligned(proj, cam.height, cam.width, budget,
+                               cfg.max_per_tile, quantum, fill="cumsum")
+    for fname in ag._fields:
+        if not np.array_equal(np.asarray(getattr(ag, fname)),
+                              np.asarray(getattr(ac, fname))):
+            return f"CUMSUM-FILL MISMATCH field={fname} seed={seed} cfg={cfg}"
+    de = jnp.asarray(rng.normal(size=(16, budget)).astype(np.float32))
+    s_ref = scatter_entry_grads(de, ag.gauss_idx, n)
+    s_k = scatter_entry_grads(de, ag.gauss_idx, n, k_slots=8)
+    for a, b in zip(jax.tree.leaves(s_k), jax.tree.leaves(s_ref)):
+        if not np.allclose(np.asarray(a), np.asarray(b),
+                           rtol=1e-3, atol=1e-5):
+            return f"K-SLOT SCATTER MISMATCH seed={seed} cfg={cfg}"
+
     op = R.rasterize(*params, cam, 1, bg, config=cfg)
     ox = R.rasterize(*params, cam, 1, bg, config=xla)
     # Image parity holds only when neither budget binds: on overflow the
@@ -79,9 +103,6 @@ def trial(seed: int) -> str:
     # path's lossless cull keeps MORE real contributors than the XLA
     # path's raw-count cap (see binning._tight_rects note), so the kept
     # sets legitimately differ.
-    from h3dgs_tpu.ops.binning import bin_gaussians
-    from h3dgs_tpu.ops.projection import project_gaussians
-    proj = project_gaussians(*params, cam, 1)
     raw = bin_gaussians(proj, cam.height, cam.width, budget)
     caps_ok = (int(jnp.max(raw.tile_count)) <= cfg.max_per_tile
                and int(op["n_duplicates"]) <= budget)
@@ -99,7 +120,7 @@ def trial(seed: int) -> str:
                 + 0.1 * jnp.mean(out["final_transmittance"]))
 
     g = jax.grad(loss)(params)
-    for name, arr in zip("msqos", g):
+    for name, arr in zip(("means", "scales", "quats", "opac", "shs"), g):
         if not bool(jnp.isfinite(arr).all()):
             return f"NON-FINITE grad {name} seed={seed} cfg={cfg}"
     return ""

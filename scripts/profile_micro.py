@@ -154,14 +154,10 @@ def main():
     safe = jnp.where(bins.gauss_idx >= 0, bins.gauss_idx, n)
     pos = jnp.arange(d, dtype=jnp.int32)
     for k in (4, 8, 16):
-        dst = safe * k + pos % k
-
-        def kslot(de, dst=dst, k=k):
-            acc = jnp.zeros(((n + 1) * k, 16), jnp.float32).at[dst].add(
-                de.T, mode="drop")
-            return jnp.sum(acc.reshape(n + 1, k, 16), axis=1)[:n]
-
-        t = bench_fn(lambda de: kslot(de), (dentries,))
+        # The REAL implementation the scatter_k flag executes — probing a
+        # hand-rolled copy would silently diverge from the promoted op.
+        t = bench_fn(lambda de, k=k: scatter_entry_grads(
+            de, bins.gauss_idx, n, k_slots=k), (dentries,))
         print(f"K-slot scatter (K={k:2d}) : {t * 1e3:8.2f} ms")
 
     # Plain-scatter floor: strictly unique destinations, no accumulation
