@@ -199,12 +199,16 @@ def main():
     # Stage 3: glue-op alternatives (bit-exact vs the defaults — see
     # tests — so this is purely a timing race): delta-cumsum binning
     # fill and K-slot gradient scatter.
-    best_cfg = run_stage("stage-3", {
+    stage3 = {
         "glue=default": best_cfg,
         "cumsum-fill": best_cfg._replace(binning_fill="cumsum"),
         "scatter-k8": best_cfg._replace(scatter_k=8),
         "cumsum+k8": best_cfg._replace(binning_fill="cumsum", scatter_k=8),
-    }, ref_name="glue=default", fallback_cfg=best_cfg)
+    }
+    if best_cfg.quantum >= 128:
+        stage3["tafter=batched"] = best_cfg._replace(tafter_mode="batched")
+    best_cfg = run_stage("stage-3", stage3, ref_name="glue=default",
+                         fallback_cfg=best_cfg)
 
     dt, _ = timed(make_step(best_cfg), ITERS, salt0=0.5)
 

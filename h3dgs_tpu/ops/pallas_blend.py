@@ -120,6 +120,12 @@ class PallasBlendConfig(NamedTuple):
     # K-slot gradient scatter (0 = plain scatter-add): see
     # scatter_entry_grads / SOL.md round-3 candidate B.
     scatter_k: int = 0
+    # Post-quantum transmittance computation in the forward kernel:
+    # "loop" (2 full-width passes per quantum) or "batched" (one masked
+    # pass + per-quantum lane slices; bit-equal, see
+    # _seg_trans_after_all). Lane slices land on Q boundaries, so keep
+    # "loop" for quanta narrower than a lane tile (q < 128)."""
+    tafter_mode: str = "loop"
 
 
 def _pixel_coords(owner, tiles_x: int, tile: int, p: int, dtype):
@@ -293,6 +299,33 @@ def _seg_trans_after(seg: _Segments, i: int, q: int, live, t_incl,
     return jnp.min(jnp.where(sel, t_incl, default), axis=1, keepdims=True)
 
 
+def _seg_trans_after_all(seg: _Segments, live, t_incl, t_carry):
+    """Every quantum's post-quantum transmittance in ONE masked [P,E]
+    pass + per-quantum lane slices, instead of 2 full-width passes per
+    quantum (_seg_trans_after). Bit-equal by construction: min is exact,
+    +inf is its identity, and the loop version's selected lane set
+    {live & lane < (i+1)q & same group} decomposes into whole quanta —
+    its min equals min(default, running same-group min of per-quantum
+    live-mins). The default participates unconditionally in both forms
+    (the loop's where() places it on every unselected lane)."""
+    q = seg.q
+    s = t_incl.shape[1] // q
+    w = jnp.where(live, t_incl, jnp.inf)
+    mins = [jnp.min(w[:, i * q:(i + 1) * q], axis=1, keepdims=True)
+            for i in range(s)]
+    outs = []
+    run = mins[0]
+    for i in range(s):
+        if i > 0:
+            same = seg.bids[i] == seg.bids[i - 1]
+            run = jnp.minimum(mins[i],
+                              jnp.where(same, run, jnp.inf))
+        default = jnp.where(seg.bids[i] == 0, t_carry,
+                            jnp.ones_like(t_carry))
+        outs.append(jnp.minimum(default, run))
+    return outs
+
+
 def _seg_new_term(seg: _Segments, term_carry, t_incl):
     """Termination carry for the final quantum's tile."""
     last_base = jnp.where(seg.bids[-1] == 0, term_carry,
@@ -311,7 +344,8 @@ def _chunk_owners(owner_ref, c, s: int):
 
 def _fwd_kernel(owner_ref, entries_ref, out_ref, trans, term,
                 *, tiles_x: int, tile: int, p: int, q: int, s: int,
-                emit_dead: bool = True, prefix_mode: str = "mxu"):
+                emit_dead: bool = True, prefix_mode: str = "mxu",
+                tafter_mode: str = "loop"):
     c = pl.program_id(0)
     owners, first = _chunk_owners(owner_ref, c, s)
 
@@ -352,10 +386,14 @@ def _fwd_kernel(owner_ref, entries_ref, out_ref, trans, term,
             a_big, contrib, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)             # [4S, P]
+        if tafter_mode == "batched":
+            t_afters = _seg_trans_after_all(seg, live, t_incl, t_carry)
+        else:
+            t_afters = [_seg_trans_after(seg, i, q, live, t_incl, t_carry)
+                        for i in range(s)]
         for i in range(s):
             out_ref[i, O_R:O_D + 1, :] = outs[4 * i:4 * i + 4]
-            t_after = _seg_trans_after(seg, i, q, live, t_incl, t_carry)
-            out_ref[i, O_T, :] = t_after[:, 0]
+            out_ref[i, O_T, :] = t_afters[i][:, 0]
             if emit_dead:
                 # Dead-at-quantum-end flag: raw t_incl at the quantum's
                 # last lane mirrors _seg_new_term's cross-chunk
@@ -369,8 +407,7 @@ def _fwd_kernel(owner_ref, entries_ref, out_ref, trans, term,
                     term_base_i,
                     (t_end_i < TRANSMITTANCE_EPS).astype(jnp.float32))
                 out_ref[i, O_DEAD, :] = dead_i[:, 0]
-        trans[:, 0:1] = _seg_trans_after(seg, s - 1, q, live, t_incl,
-                                         t_carry)
+        trans[:, 0:1] = t_afters[s - 1]
         term[:, 0:1] = _seg_new_term(seg, term_carry, t_incl)
 
     @pl.when(jnp.logical_not(compute))
@@ -511,7 +548,8 @@ def pallas_blend_fwd(packed, owner, *, tiles_x: int, tile: int,
     kernel = functools.partial(_fwd_kernel, tiles_x=tiles_x, tile=tile,
                                p=p, q=q, s=s,
                                emit_dead=cfg.bwd_entries > 0,
-                               prefix_mode=cfg.prefix_mode)
+                               prefix_mode=cfg.prefix_mode,
+                               tafter_mode=cfg.tafter_mode)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(

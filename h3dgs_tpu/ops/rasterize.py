@@ -69,6 +69,10 @@ class RasterizeConfig(NamedTuple):
     # gather) or "cumsum" (run-start delta scatter + mod-2^32 telescoping
     # cumsum fill — bit-exact, SOL.md round-3 candidate C).
     binning_fill: str = "gather"
+    # Forward-kernel post-quantum transmittance: "loop" or "batched"
+    # (one masked pass + per-quantum lane slices; bit-exact — see
+    # pallas_blend._seg_trans_after_all). Requires quantum >= 128.
+    tafter_mode: str = "loop"
     # Mesh axis name to shard the per-tile blend over (pixels/tiles are the
     # natural SPMD axis of splatting). Requires an ambient mesh
     # (jax.set_mesh); Gaussian/entry arrays stay replicated and XLA inserts
@@ -270,7 +274,8 @@ def blend_tiles_pallas(proj: ProjectedGaussians, height: int, width: int,
         chunk_e=config.chunk_e, quantum=quantum,
         bwd_chunk_e=config.bwd_chunk_e,
         interpret=not _on_tpu(), bwd_entries=bwd_entries,
-        prefix_mode=config.prefix_mode, scatter_k=config.scatter_k)
+        prefix_mode=config.prefix_mode, scatter_k=config.scatter_k,
+        tafter_mode=config.tafter_mode)
     inv_depth = 1.0 / jnp.maximum(proj.depth, 1e-6)
     n_q_per_tile = -(-bins.tile_count // quantum)
     # Tiles whose aligned run overflows the buffer lost their quanta —

@@ -189,7 +189,9 @@ def main(iters=8):
             ("winner + scatter_k=8", best._replace(scatter_k=8)),
             ("winner + scatter_k=16", best._replace(scatter_k=16)),
             ("winner + cumsum + k8", best._replace(binning_fill="cumsum",
-                                                   scatter_k=8))):
+                                                   scatter_k=8)),
+            ("winner + tafter=batched",
+             best._replace(tafter_mode="batched"))):
         try:
             check_and_time(label, cfg, iters)
         except Exception as ex:

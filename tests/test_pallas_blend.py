@@ -327,3 +327,28 @@ def test_kslot_scatter_matches_plain():
     for a, b in zip(jax.tree.leaves(g_k), jax.tree.leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-2, atol=1e-7)
+
+
+def test_batched_tafter_bit_exact():
+    """The batched post-quantum transmittance must be BIT-identical to
+    the per-quantum loop (min is exact, +inf is its identity, and the
+    selected lane sets decompose into whole quanta)."""
+    params, cam, bg = _saturated_scene(n=250, seed=31)
+    target = jnp.full((3, 32, 48), 0.4)
+    base = PL_CFG_SEG4._replace(max_entries=1 << 12, bwd_entries=1 << 11)
+
+    def run(cfg):
+        out = R.rasterize(*params, cam, 1, bg, config=cfg)
+        def loss(p):
+            o = R.rasterize(*p, cam, 1, bg, config=cfg)
+            return (photometric_loss(o["render"], target)
+                    + 0.1 * jnp.mean(o["final_transmittance"]))
+        return out, jax.grad(loss)(params)
+
+    out_l, g_l = run(base)
+    out_b, g_b = run(base._replace(tafter_mode="batched"))
+    for k in ("render", "invdepth", "final_transmittance"):
+        np.testing.assert_array_equal(np.asarray(out_b[k]),
+                                      np.asarray(out_l[k]), err_msg=k)
+    for a, b in zip(jax.tree.leaves(g_b), jax.tree.leaves(g_l)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
