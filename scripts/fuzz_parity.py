@@ -67,7 +67,8 @@ def trial(seed: int) -> str:
         bwd_chunk_e=int(rng.choice([0, quantum])),
         prefix_mode=str(rng.choice(["mxu", "roll"])),
         scatter_k=int(rng.choice([0, 8])),
-        binning_fill=str(rng.choice(["gather", "cumsum"])))
+        binning_fill=str(rng.choice(["gather", "cumsum"])),
+        tafter_mode=str(rng.choice(["loop", "batched"])))
     xla = R.RasterizeConfig(max_entries=budget,
                             max_per_tile=cfg.max_per_tile, chunk=16,
                             backend="xla")
