@@ -124,7 +124,7 @@ class PallasBlendConfig(NamedTuple):
     # "loop" (2 full-width passes per quantum) or "batched" (one masked
     # pass + per-quantum lane slices; bit-equal, see
     # _seg_trans_after_all). Lane slices land on Q boundaries, so keep
-    # "loop" for quanta narrower than a lane tile (q < 128)."""
+    # "loop" for quanta narrower than a lane tile (q < 128).
     tafter_mode: str = "loop"
 
 
