@@ -34,6 +34,10 @@ N_GAUSS = int(os.environ.get("BENCH_N_GAUSS", 200_000))
 WIDTH = int(os.environ.get("BENCH_WIDTH", 1920))
 HEIGHT = int(os.environ.get("BENCH_HEIGHT", 1080))
 ITERS = int(os.environ.get("BENCH_ITERS", 10))
+# Wall budget for the self-tuning stages: compiles are 20-300 s each on
+# a cold cache and the driver may kill a silent bench — skip remaining
+# tuning stages once exceeded so the final measurement ALWAYS lands.
+TUNE_BUDGET_S = float(os.environ.get("BENCH_TUNE_BUDGET_S", 1200))
 
 
 def main():
@@ -139,12 +143,17 @@ def main():
     import sys
 
     salt_base = [0.0]
+    tune_start = time.perf_counter()
 
     def run_stage(title, configs, ref_name, fallback_cfg):
         """Time candidates, exclude grad-probe mismatches vs ref_name,
         return the fastest survivor (fallback_cfg if everything fails OR
         the reference itself failed — without a reference probe nothing
         is verified, so nothing may be promoted)."""
+        if time.perf_counter() - tune_start > TUNE_BUDGET_S:
+            print(f"  {title}: tuning budget exhausted — skipped",
+                  file=sys.stderr, flush=True)
+            return fallback_cfg
         salt_base[0] += 1e-2
         times, probes = {}, {}
         for k, (name, cfg) in enumerate(configs.items()):
