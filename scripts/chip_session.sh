@@ -44,20 +44,23 @@ run() { # run <name> <timeout_s> <cmd...>
     tail -25 "$log" | sed 's/^/   | /'
 }
 
-# 1. Same-run A/B of the round-2 kernel levers (grad cross-check gate +
-#    bwd truncation x prefix mode x E/Q/bwdE sweep). Promote the winner
-#    to RasterizeConfig defaults by hand after reading the log.
-run ab_r02 3600 $PY scripts/ab_r02.py $AB_ITERS
+# 1. The headline bench FIRST (it self-tunes over the lever combos and
+#    is the judged artifact — if the tunnel window closes early, this is
+#    the measurement that must not be lost).
+run bench 3000 env BENCH_ITERS=$BENCH_ITERS $PY bench.py
 
-# 2. Stage-level breakdown at the current defaults (updates SOL.md table).
+# 2. Same-run A/B of the round-2 kernel levers (grad cross-check gate +
+#    bwd truncation x prefix mode x E/Q/bwdE sweep + glue alternatives).
+#    Promote the winner to RasterizeConfig defaults by hand after
+#    reading the log (SOL.md runbook).
+run ab_r02 5400 $PY scripts/ab_r02.py $AB_ITERS
+
+# 3. Stage-level breakdown at the current defaults (updates SOL.md table).
 run profile_stages 2400 $PY scripts/profile_stages.py
 
-# 2b. Binning/backward micro-profile incl. the scatter-strategy A/B
-#     (round-3 K-slot scatter candidate).
+# 3b. Binning/backward micro-profile incl. the scatter-strategy ladder
+#     and the sort/cummax/cumsum design probes (round-3 candidates).
 run profile_micro 2400 $PY scripts/profile_micro.py
-
-# 3. The headline bench (self-tunes over lever combos in-run).
-run bench 2400 env BENCH_ITERS=$BENCH_ITERS $PY bench.py
 
 # 4. Hierarchy-cut render fps (interactive-rate agenda, VERDICT item 5).
 run bench_render 2400 $PY scripts/bench_render.py
