@@ -109,6 +109,13 @@ class RuntimeConfig:
     # scope is ~2x the forward's, so a wide forward (e.g. 1024) pairs with
     # a narrower backward. Multiple of quantum, divides the entry budget.
     bwd_chunk_e: int = 0
+    # Glue-op alternatives (see ops/rasterize.RasterizeConfig + SOL.md):
+    # K-slot gradient scatter (0 = plain scatter-add), binning per-entry
+    # table fill ("gather" | "cumsum"), forward post-quantum
+    # transmittance ("loop" | "batched"). All bit-exact vs the defaults.
+    scatter_k: int = 0
+    binning_fill: str = "gather"
+    tafter_mode: str = "loop"
     # In-step view data parallelism: shard a batch of views over this many
     # devices (parallel/step.make_dp_train_step); 1 = single-device loop.
     data_devices: int = 1

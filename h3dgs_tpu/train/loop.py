@@ -38,7 +38,10 @@ def raster_config(cfg: FullConfig) -> RasterizeConfig:
                            bwd_entries=(None if r.bwd_entries < 0
                                         else r.bwd_entries),
                            prefix_mode=r.prefix_mode,
-                           bwd_chunk_e=r.bwd_chunk_e)
+                           bwd_chunk_e=r.bwd_chunk_e,
+                           scatter_k=r.scatter_k,
+                           binning_fill=r.binning_fill,
+                           tafter_mode=r.tafter_mode)
 
 
 def _entry_bucket(n_dup: int, floor: int, cap: int) -> int:
