@@ -13,6 +13,9 @@
 set -u
 cd "$(dirname "$0")/.."
 PY=/opt/venv/bin/python
+# The venv does not have the package installed; scripts/*.py import
+# h3dgs_tpu from the repo root.
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 LOGS=chip_logs
 mkdir -p "$LOGS"
 STAMP=$(date -u +%Y%m%dT%H%M%SZ)
