@@ -114,7 +114,9 @@ class RuntimeConfig:
     # table fill ("gather" | "cumsum"), forward post-quantum
     # transmittance ("loop" | "batched"). All bit-exact vs the defaults.
     scatter_k: int = 0
-    binning_fill: str = "gather"
+    # "cumsum" won the 2026-08-18 on-chip A/B (bench stage-3); see
+    # ops/rasterize.RasterizeConfig.
+    binning_fill: str = "cumsum"
     tafter_mode: str = "loop"
     # In-step view data parallelism: shard a batch of views over this many
     # devices (parallel/step.make_dp_train_step); 1 = single-device loop.

@@ -67,8 +67,11 @@ class RasterizeConfig(NamedTuple):
     scatter_k: int = 0
     # Per-entry table construction in binning: "gather" ([D,8] row
     # gather) or "cumsum" (run-start delta scatter + mod-2^32 telescoping
-    # cumsum fill — bit-exact, SOL.md round-3 candidate C).
-    binning_fill: str = "gather"
+    # cumsum fill — bit-exact, SOL.md round-3 candidate C). "cumsum" won
+    # the on-chip A/B (bench stage-3, 2026-08-18: 153.7 vs 156.4 ms at
+    # the 1080p/200k bench point, grad-probe-identical) and is the
+    # default; "gather" remains as the fallback.
+    binning_fill: str = "cumsum"
     # Forward-kernel post-quantum transmittance: "loop" or "batched"
     # (one masked pass + per-quantum lane slices; bit-exact — see
     # pallas_blend._seg_trans_after_all). Requires quantum >= 128.
