@@ -84,16 +84,17 @@ def main():
 
     cam = look_at_camera(eye=(0.0, -1.0, -6.0), target=(0, 0, 0), fovx=1.2,
                          width=WIDTH, height=HEIGHT)
-    # Budget sized exactly as the adaptive trainer would (see
-    # entry_budget_for_scene: exact two-probe aligned-need measurement +
-    # the trainer's quarter-ladder bucket).
-    from h3dgs_tpu.train.loop import entry_budget_for_scene
+    # Budgets sized exactly as the adaptive trainer would (see
+    # entry_budgets_for_scene: exact two-probe need measurement + the
+    # trainer's quarter-ladder buckets, split gen/aligned).
+    from h3dgs_tpu.train.loop import entry_budgets_for_scene
 
-    budget = entry_budget_for_scene(
+    gen_budget, budget = entry_budgets_for_scene(
         jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
         jnp.asarray(opac), jnp.asarray(shs), cam, 3)
     import sys
-    print(f"  budget {budget}", file=sys.stderr, flush=True)
+    print(f"  budget {budget} (gen {gen_budget})", file=sys.stderr,
+          flush=True)
     base = RasterizeConfig(max_entries=budget, max_per_tile=4096,
                            chunk_e=512, quantum=128)
     bg = jnp.zeros(3, jnp.float32)
@@ -188,8 +189,6 @@ def main():
         "bwd=0,mxu": base._replace(bwd_entries=0, prefix_mode="mxu"),
         "bwd=auto,mxu": base._replace(bwd_entries=None, prefix_mode="mxu"),
         "bwd=0,roll": base._replace(bwd_entries=0, prefix_mode="roll"),
-        "bwd=auto,roll": base._replace(bwd_entries=None,
-                                       prefix_mode="roll"),
     }, ref_name="bwd=0,mxu",
         fallback_cfg=base._replace(bwd_entries=0, prefix_mode="mxu"))
 
@@ -206,13 +205,13 @@ def main():
         }, ref_name="E=asis", fallback_cfg=best_cfg)
 
     # Stage 3: glue-op alternatives (bit-exact vs the defaults — see
-    # tests — so this is purely a timing race): delta-cumsum binning
-    # fill and K-slot gradient scatter.
+    # tests — so this is purely a timing race): binning fill, sort mode,
+    # batched post-quantum transmittance, unsplit gen budget.
     stage3 = {
         "glue=default": best_cfg,
-        "cumsum-fill": best_cfg._replace(binning_fill="cumsum"),
-        "scatter-k8": best_cfg._replace(scatter_k=8),
-        "cumsum+k8": best_cfg._replace(binning_fill="cumsum", scatter_k=8),
+        "fill=gather": best_cfg._replace(binning_fill="gather"),
+        "sort=2key": best_cfg._replace(sort_mode="2key"),
+        "gen=split": best_cfg._replace(gen_entries=gen_budget),
     }
     if best_cfg.quantum >= 128:
         stage3["tafter=batched"] = best_cfg._replace(tafter_mode="batched")

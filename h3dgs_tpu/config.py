@@ -101,8 +101,9 @@ class RuntimeConfig:
     # Upper bound for capacity growth (0 = unlimited).
     max_capacity: int = 0
     # Backward termination-truncation budget (ops/rasterize bwd_entries):
-    # -1 = auto (half the entry budget), 0 = disabled, else slot count.
-    bwd_entries: int = -1
+    # -1 = auto (half the entry budget), 0 = disabled (r3 A/B winner),
+    # else slot count.
+    bwd_entries: int = 0
     # Pallas transmittance recurrence: "mxu" or "roll" (see pallas_blend).
     prefix_mode: str = "mxu"
     # Backward grid-step width (0 = same as chunk_e): the backward's VMEM
@@ -118,6 +119,15 @@ class RuntimeConfig:
     # ops/rasterize.RasterizeConfig.
     binning_fill: str = "cumsum"
     tafter_mode: str = "loop"
+    # Entry sort implementation ("rank" | "2key", ops/binning).
+    sort_mode: str = "rank"
+    # Generation-side entry budget (0 = max_entries; -1 = adaptive split
+    # driven by the observed raw duplicate count when adaptive_entries).
+    # Default off: the 2026-08-19 on-chip probe measured the split
+    # slightly SLOWER (27.8 vs 26.2 ms binning at the bench point) — the
+    # D-proportional generation ops fuse well enough that the smaller
+    # buffer buys nothing.
+    gen_entries: int = 0
     # In-step view data parallelism: shard a batch of views over this many
     # devices (parallel/step.make_dp_train_step); 1 = single-device loop.
     data_devices: int = 1

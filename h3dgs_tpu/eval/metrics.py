@@ -29,10 +29,33 @@ _SHIFT = np.asarray([-0.030, -0.088, -0.188], np.float32)
 _SCALE = np.asarray([0.458, 0.448, 0.450], np.float32)
 
 
+_WARNED = [False]
+
+
+def _default_weight_paths():
+    """No-setup locations: repo-local weights/ and the user cache."""
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    yield os.path.join(here, "weights", "lpips_vgg.npz")
+    yield os.path.expanduser("~/.cache/h3dgs/lpips_vgg.npz")
+
+
 def _find_weights(path: Optional[str]) -> Optional[str]:
     cand = path or os.environ.get(LPIPS_WEIGHTS_ENV, "")
     if cand and os.path.exists(cand):
         return cand
+    for p in _default_weight_paths():
+        if os.path.exists(p):
+            return p
+    if not _WARNED[0]:  # loud, once — never silently degrade the eval
+        _WARNED[0] = True
+        import sys
+        print("[eval] LPIPS unavailable: no weights at "
+              f"$({LPIPS_WEIGHTS_ENV}), weights/lpips_vgg.npz or "
+              "~/.cache/h3dgs/lpips_vgg.npz — reporting PSNR/SSIM only. "
+              "Convert once with python -m h3dgs_tpu.eval.convert_lpips "
+              "on a machine with torchvision weights.", file=sys.stderr,
+              flush=True)
     return None
 
 

@@ -23,7 +23,7 @@ Interface parity anchor: /root/reference/gaussian_renderer/__init__.py:44-113
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -163,6 +163,15 @@ class AlignedBins(NamedTuple):
     # tile; any nonzero value here is a quality cliff the training loop
     # must surface (VERDICT r1 weak-4).
     n_truncated: jnp.ndarray
+    # Rank-key mode (the fast path): ``gauss_idx`` is in DEPTH-RANK space.
+    # ``perm`` maps rank -> original Gaussian id, ``rank`` is its inverse
+    # (gaussian -> rank). Both None when the 2-key fallback ran and
+    # gauss_idx holds original ids. Rationale: packing (tile << RB | rank)
+    # into ONE i32 sort key turns the 2-key+payload D-sort (13.2 ms on
+    # v5e at D=2M) into a keyless single-array sort (4.8 ms); depth order
+    # per tile is preserved because rank IS depth order.
+    perm: Optional[jnp.ndarray] = None
+    rank: Optional[jnp.ndarray] = None
 
 
 def align_segments(binned: BinnedGaussians, n_tiles: int, max_entries: int,
@@ -174,16 +183,21 @@ def align_segments(binned: BinnedGaussians, n_tiles: int, max_entries: int,
 
 
 def _aligned_from_sorted(gauss_idx, tile_start, tile_count, total, n_tiles,
-                         max_per_tile, chunk_e) -> AlignedBins:
+                         max_per_tile, chunk_e, d_out: int = 0) -> AlignedBins:
     """Aligned relayout as per-chunk contiguous slice gathers.
 
     The sorted->aligned map is piecewise-contiguous (each tile's run just
-    shifts right by its accumulated padding), so every aligned chunk reads
-    ``chunk_e`` *consecutive* sorted entries. That turns the relayout into
-    one sliced gather driven by a per-chunk base — O(n_chunks) index math —
-    instead of a 2M-element scalar scatter (~22 ms on v5e) plus a per-entry
-    tile-table gather (~7 ms)."""
-    d = gauss_idx.shape[0]
+    shifts right by its accumulated padding), so every aligned slot's
+    source is base[chunk] + offset — W consecutive outputs read W
+    consecutive sorted entries. A W=8 shifted-copies table (table[i,j] =
+    sorted[i+j], built with static slices) turns the whole relayout into
+    ONE [D/8]-row gather of 32-byte rows. TPU gathers/slices are issue-
+    rate bound per ROW (~3.6 ns for 32-64 B rows), so widening the row
+    is an 8x cut: measured v5e at D=2M — per-chunk dynamic slices
+    14.8 ms (Q=128) / 8.3 ms (Q=256), flat 4-byte-row gather 18 ms,
+    2M-element scalar scatter ~22 ms, this formulation ~1.5 ms."""
+    d_src = gauss_idx.shape[0]
+    d = d_out or d_src
     count = jnp.minimum(tile_count, max_per_tile)                 # [T]
     n_trunc = jnp.sum(jnp.maximum(tile_count - max_per_tile, 0))
     aligned = -(-count // chunk_e) * chunk_e                      # [T]
@@ -209,17 +223,25 @@ def _aligned_from_sorted(gauss_idx, tile_start, tile_count, total, n_tiles,
     owner = jnp.where(used, owner_c, -1)
 
     chunk_rank = chunk_pos - trows[:, 2]                          # [C]
-    base = jnp.clip(trows[:, 0] + chunk_rank, 0, d)
-    # Pad so a run ending at d never clips its slice (clipping would shift
-    # the slice against the rank mask and duplicate earlier entries).
+    base = jnp.clip(trows[:, 0] + chunk_rank, 0, d_src)           # [C]
+    w = 8 if chunk_e % 8 == 0 else 1
+    # table[i, j] = padded_sorted[i + j]: W static slices of one padded
+    # copy — pure relayout-free reads.
     gpad = jnp.concatenate([gauss_idx,
-                            jnp.full((chunk_e,), -1, gauss_idx.dtype)])
-    rows = jax.vmap(
-        lambda b: jax.lax.dynamic_slice(gpad, (b,), (chunk_e,)))(base)
+                            jnp.full((w,), -1, gauss_idx.dtype)])
+    table = jnp.stack([gpad[j:j + d_src] for j in range(w)], axis=1)
+    # Output row r (covering aligned slots r*w .. r*w+w-1) lives in chunk
+    # c = r*w // chunk_e and reads sorted entries starting at
+    # base[c] + (r*w - c*chunk_e).
+    r_idx = jnp.arange(d // w, dtype=jnp.int32)
+    c_of_r = r_idx // (chunk_e // w)
+    src_row = jnp.clip(base[c_of_r] + r_idx * w - c_of_r * chunk_e,
+                       0, d_src - 1)
+    rows = table[src_row].reshape(d)                              # [D]
     lane = jnp.arange(chunk_e, dtype=jnp.int32)
     ok = used[:, None] & ((chunk_rank[:, None] + lane[None, :])
                           < trows[:, 1:2])
-    gauss = jnp.where(ok, rows, -1).reshape(d)
+    gauss = jnp.where(ok.reshape(d), rows, -1)
     return AlignedBins(
         gauss_idx=gauss, owner=owner,
         tile_start=astart.astype(jnp.int32),
@@ -258,19 +280,26 @@ def _delta_cumsum_rows(gtab, counts, starts, d: int):
 def bin_gaussians_aligned(proj: ProjectedGaussians, height: int, width: int,
                           max_entries: int, max_per_tile: int, chunk_e: int,
                           tile: int = TILE,
-                          fill: str = "gather") -> AlignedBins:
+                          fill: str = "gather",
+                          sort_mode: str = "rank",
+                          gen_entries: int = 0) -> AlignedBins:
     """Fused binning for the Pallas blend: single-key sort + aligned layout.
 
-    Faster than bin_gaussians + align_segments: the (tile, depth) pair is
-    packed into ONE int64 key (positive-float depth bits are order-
-    preserving as integers), the sort carries a single payload, and the
-    per-entry tile comes straight out of the sort instead of a
-    searchsorted over all entries.
-    """
+    Faster than bin_gaussians + align_segments: one i32 sort key (rank-key
+    packing, or (tile, depth-bits) 2-key fallback), a single payload, and
+    per-tile boundaries straight from searchsorted over the sorted keys.
+
+    ``gen_entries`` splits the budget: the generation-side stream (owner
+    fill, per-entry table, sort) only has to hold the RAW duplicate count,
+    while ``max_entries`` sizes the quantum-padded aligned output the
+    blend kernel consumes — the padding is typically 1.2-1.5x the raw
+    count, so a split-sized generation stream cuts every D-proportional
+    op before the relayout by the same factor. 0 = use max_entries for
+    both (single buffer)."""
     tiles_y, tiles_x = num_tiles(height, width, tile)
     n_tiles = tiles_y * tiles_x
     n = proj.means2d.shape[0]
-    d = max_entries
+    d = gen_entries or max_entries
 
     rect_min_x, rect_min_y, span_x, span_y, counts = _tight_rects(
         proj, tiles_y, tiles_x, tile)
@@ -310,9 +339,27 @@ def bin_gaussians_aligned(proj: ProjectedGaussians, height: int, width: int,
     def fbits(v):
         return jax.lax.bitcast_convert_type(v.astype(jnp.float32), jnp.int32)
     depth_bits = fbits(jnp.maximum(proj.depth, 0.0))
+
+    # Rank-key fast path: presort the N Gaussians by depth once (stable:
+    # iota is a second key), then the per-entry sort key packs
+    # (tile_id << RB) | depth_rank into ONE i32 — a keyless single-array
+    # sort, ~2.7x faster than the 2-key+payload sort at D=2M. Depth order
+    # per tile is exactly rank order, and rank doubles as the entry's
+    # Gaussian identity (in rank space) for everything downstream.
+    rank_bits = max(1, (n - 1).bit_length() if n > 1 else 1)
+    use_rank = (sort_mode == "rank"
+                and (n_tiles + 1) <= (((1 << 31) - 1) >> rank_bits))
+    if use_rank:
+        iota_n = jnp.arange(n, dtype=jnp.int32)
+        _, perm = jax.lax.sort((depth_bits, iota_n), num_keys=2)
+        rank = jnp.zeros((n,), jnp.int32).at[perm].set(iota_n)
+        sort_col = rank
+    else:
+        perm = rank = None
+        sort_col = depth_bits
     gtab = jnp.stack([rect_min_x, rect_min_y,
                       jnp.maximum(span_x, 1), offsets.astype(jnp.int32),
-                      depth_bits,
+                      sort_col,
                       fbits(proj.means2d[:, 0]), fbits(proj.means2d[:, 1]),
                       fbits(t_cmp)], axis=1)                     # [N, 8]
     if fill == "cumsum":
@@ -335,17 +382,30 @@ def bin_gaussians_aligned(proj: ProjectedGaussians, height: int, width: int,
     keep = (dxe * dxe + dye * dye) <= funbits(grows[:, 7])
     tile_id = jnp.where(entry_valid & keep, ty * tiles_x + tx, n_tiles)
 
-    # Two-key sort: tile id major, positive-f32 depth *bits* minor (order-
-    # preserving as int32, avoiding an f32 comparator); single payload.
-    sorted_tile, _, sorted_gauss = jax.lax.sort(
-        (tile_id, grows[:, 4], gauss), num_keys=2)
-
     tile_range = jnp.arange(n_tiles, dtype=jnp.int32)
-    tile_start = jnp.searchsorted(sorted_tile, tile_range,
-                                  side="left").astype(jnp.int32)
-    tile_end = jnp.searchsorted(sorted_tile, tile_range,
-                                side="right").astype(jnp.int32)
-    return _aligned_from_sorted(
-        sorted_gauss.astype(jnp.int32), tile_start,
+    if use_rank:
+        # Keyless single-array sort of (tile << RB) | rank; per-tile
+        # boundaries come from ONE searchsorted over T+1 key-space points
+        # (tile t's end == tile t+1's start, so the two side="left"/
+        # "right" calls of the fallback path collapse into one).
+        key = (tile_id << rank_bits) | grows[:, 4]
+        sorted_key = jax.lax.sort((key,), num_keys=1)[0]
+        sorted_gauss = sorted_key & ((1 << rank_bits) - 1)  # rank space
+        bounds = jnp.searchsorted(
+            sorted_key, jnp.arange(n_tiles + 1, dtype=jnp.int32) << rank_bits,
+            side="left")
+        tile_start = bounds[:n_tiles]
+        tile_end = bounds[1:]
+    else:
+        # Two-key sort: tile id major, positive-f32 depth *bits* minor
+        # (order-preserving as int32, avoiding an f32 comparator).
+        sorted_tile, _, sorted_gauss = jax.lax.sort(
+            (tile_id, grows[:, 4], gauss), num_keys=2)
+        tile_start = jnp.searchsorted(sorted_tile, tile_range, side="left")
+        tile_end = jnp.searchsorted(sorted_tile, tile_range, side="right")
+    out = _aligned_from_sorted(
+        sorted_gauss.astype(jnp.int32), tile_start.astype(jnp.int32),
         (tile_end - tile_start).astype(jnp.int32),
-        jnp.asarray(total, jnp.int32), n_tiles, max_per_tile, chunk_e)
+        jnp.asarray(total, jnp.int32), n_tiles, max_per_tile, chunk_e,
+        d_out=max_entries)
+    return out._replace(perm=perm, rank=rank)

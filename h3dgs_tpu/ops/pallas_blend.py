@@ -602,15 +602,8 @@ def pallas_blend_bwd(packed, owner, grads_quanta, *,
     )(owner, packed, grads_quanta)
 
 
-def pack_rows(means2d, conic, rgb, opacity, inv_depth,
-              gauss_idx) -> jax.Array:
-    """Gather per-entry attributes into packed [D, 16] rows.
-
-    One [N,16] attribute matrix -> one contiguous row gather: the gather
-    moves 64-byte rows (fast) instead of 10 scalar gathers. Row R_GI is
-    the entry's gauss_idx bitcast to f32 (set post-gather so padding
-    entries keep -1, not a zeroed bit pattern).
-    """
+def _attr_table(means2d, conic, rgb, opacity, inv_depth) -> jax.Array:
+    """Per-Gaussian [N, 16] attribute matrix (pack_rows' gather source)."""
     n = means2d.shape[0]
     attr = jnp.zeros((n, N_ROWS), jnp.float32)
     attr = attr.at[:, R_MX].set(means2d[:, 0])
@@ -619,21 +612,46 @@ def pack_rows(means2d, conic, rgb, opacity, inv_depth,
     attr = attr.at[:, R_R:R_B + 1].set(rgb)
     attr = attr.at[:, R_OP].set(opacity)
     attr = attr.at[:, R_ID].set(inv_depth)
-    gi = jnp.maximum(gauss_idx, 0)
-    rows = attr[gi]                                        # [D, 16]
-    rows = jnp.where((gauss_idx >= 0)[:, None], rows, 0.0)
-    rows = rows.at[:, R_GI].set(jax.lax.bitcast_convert_type(
-        gauss_idx.astype(jnp.int32), jnp.float32))
-    return rows
+    return attr
+
+
+def pack_rows(means2d, conic, rgb, opacity, inv_depth, gauss_idx,
+              perm=None) -> jax.Array:
+    """Gather per-entry attributes into packed [D, 16] rows.
+
+    One [N+1,16] attribute matrix -> one contiguous row gather: the gather
+    moves 64-byte rows (fast) instead of 10 scalar gathers. Padding slots
+    (gauss_idx < 0) read the all-zero sentinel row N, and row R_GI (the
+    entry's gauss_idx bitcast to f32) lands via ONE fused column-select
+    pass — on v5e the .at[:, col].set / where(valid) formulation cost an
+    extra ~11 ms at D=2M (XLA materialized full [D,16] copies).
+
+    ``perm`` (rank-key binning, ops/binning): gauss_idx is in depth-RANK
+    space and perm maps rank -> original id; one extra [N,16] row permute
+    re-keys the table so the D-gather stays a single hop.
+    """
+    attr = _attr_table(means2d, conic, rgb, opacity, inv_depth)
+    if perm is not None:
+        attr = attr[perm]
+    n = attr.shape[0]
+    attr = jnp.concatenate([attr, jnp.zeros((1, N_ROWS), jnp.float32)])
+    safe = jnp.where(gauss_idx >= 0, gauss_idx, n)
+    rows = attr[safe]                                      # [D, 16]
+    gi_col = (jax.lax.broadcasted_iota(jnp.int32, (1, N_ROWS), 1) == R_GI)
+    bits = jax.lax.bitcast_convert_type(
+        gauss_idx.astype(jnp.int32), jnp.float32)
+    return jnp.where(gi_col, bits[:, None], rows)
 
 
 def pack_entries(means2d, conic, rgb, opacity, inv_depth,
-                 gauss_idx) -> jax.Array:
+                 gauss_idx, perm=None) -> jax.Array:
     """Packed [16, D] stream (pack_rows transposed; kernel layout)."""
-    return pack_rows(means2d, conic, rgb, opacity, inv_depth, gauss_idx).T
+    return pack_rows(means2d, conic, rgb, opacity, inv_depth, gauss_idx,
+                     perm).T
 
 
-def scatter_entry_grads(dentries, gauss_idx, n: int, k_slots: int = 0):
+def scatter_entry_grads(dentries, gauss_idx, n: int, k_slots: int = 0,
+                        rank=None):
     """Scatter-add per-entry gradients back to per-Gaussian arrays.
 
     One [D,16]-row scatter-add (contiguous 64-byte updates) instead of ten
@@ -642,6 +660,10 @@ def scatter_entry_grads(dentries, gauss_idx, n: int, k_slots: int = 0):
     [N,K,16] reduction — same result under add semantics, but with ~K-fold
     fewer conflicts per address, probing whether XLA scatter-add's cost
     over the plain-scatter floor is RMW serialization (SOL.md candidate B).
+
+    ``rank`` (rank-key binning): gauss_idx is in depth-rank space; the
+    accumulated [N,16] is re-keyed to original order with one row gather
+    (orig g lives at rank[g]).
     """
     safe = jnp.where(gauss_idx >= 0, gauss_idx, n)
     rows = dentries.T                                      # [D, 16]
@@ -655,6 +677,8 @@ def scatter_entry_grads(dentries, gauss_idx, n: int, k_slots: int = 0):
     else:
         acc = jnp.zeros((n + 1, N_ROWS), jnp.float32).at[safe].add(
             rows, mode="drop")[:n]
+    if rank is not None:
+        acc = acc[rank]
     d_means2d = acc[:, R_MX:R_MY + 1]
     d_conic = acc[:, R_CA:R_CC + 1]
     d_rgb = acc[:, R_R:R_B + 1]
@@ -665,18 +689,20 @@ def scatter_entry_grads(dentries, gauss_idx, n: int, k_slots: int = 0):
 
 # --------------------------------------------------------------- custom VJP
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13))
 def blend_entries(means2d, conic, rgb, opacity, inv_depth, owner, gauss_idx,
-                  last_chunk, n_tiles: int, tiles_x: int, tile: int,
-                  cfg: PallasBlendConfig):
+                  last_chunk, perm, rank, n_tiles: int, tiles_x: int,
+                  tile: int, cfg: PallasBlendConfig):
     """Differentiable tile blend: per-Gaussian screen-space attributes ->
     per-tile [n_tiles, 8, P] (rgb, invdepth, transmittance; pre-background).
 
     ``last_chunk``: [n_tiles] int32 index of each tile's final chunk
-    (-1 = tile has no entries).
+    (-1 = tile has no entries). ``perm``/``rank``: rank-key binning
+    permutations (both None when gauss_idx holds original ids).
     """
     out, _ = _blend_fwd(means2d, conic, rgb, opacity, inv_depth, owner,
-                        gauss_idx, last_chunk, n_tiles, tiles_x, tile, cfg)
+                        gauss_idx, last_chunk, perm, rank, n_tiles, tiles_x,
+                        tile, cfg)
     return out
 
 
@@ -696,8 +722,9 @@ def _combine_chunks(chunk_out, owner, last_chunk, n_tiles):
 
 
 def _blend_fwd(means2d, conic, rgb, opacity, inv_depth, owner, gauss_idx,
-               last_chunk, n_tiles, tiles_x, tile, cfg):
-    rows = pack_rows(means2d, conic, rgb, opacity, inv_depth, gauss_idx)
+               last_chunk, perm, rank, n_tiles, tiles_x, tile, cfg):
+    rows = pack_rows(means2d, conic, rgb, opacity, inv_depth, gauss_idx,
+                     perm)
     chunk_out = pallas_blend_fwd(rows.T, owner, tiles_x=tiles_x, tile=tile,
                                  cfg=cfg)
     # Defensive (axon backend): keep XLA from fusing the segment-sum into
@@ -714,11 +741,12 @@ def _blend_fwd(means2d, conic, rgb, opacity, inv_depth, owner, gauss_idx,
     else:
         q_dead = None
         stream = rows.T      # kernel layout, reused directly by the bwd
-    return out, (stream, owner, gauss_idx, out, q_dead, means2d.shape[0])
+    return out, (stream, owner, gauss_idx, out, q_dead, means2d.shape[0],
+                 rank)
 
 
 def _blend_bwd(n_tiles, tiles_x, tile, cfg, res, g):
-    stream, owner, gauss_idx, out, q_dead, n = res
+    stream, owner, gauss_idx, out, q_dead, n, rank = res
     g = jnp.asarray(g, jnp.float32)
     # Fused suffix constants ride the spare cotangent rows, so the kernel
     # needs a single per-chunk gather.
@@ -730,7 +758,7 @@ def _blend_bwd(n_tiles, tiles_x, tile, cfg, res, g):
         dentries = pallas_blend_bwd(packed, own, grads_chunks,
                                     tiles_x=tiles_x, tile=tile, cfg=cfg)
         return scatter_entry_grads(dentries, gidx, n,
-                                   k_slots=cfg.scatter_k)
+                                   k_slots=cfg.scatter_k, rank=rank)
 
     if not cfg.bwd_entries:
         grads = run(stream, owner, gauss_idx)
@@ -783,7 +811,9 @@ def _blend_bwd(n_tiles, tiles_x, tile, cfg, res, g):
     f0 = np.zeros(owner.shape, jax.dtypes.float0)
     f0_g = np.zeros(gauss_idx.shape, jax.dtypes.float0)
     f0_l = np.zeros((n_tiles,), jax.dtypes.float0)
-    return (d_means2d, d_conic, d_rgb, d_opac, d_invd, f0, f0_g, f0_l)
+    f0_p = None if rank is None else np.zeros((n,), jax.dtypes.float0)
+    return (d_means2d, d_conic, d_rgb, d_opac, d_invd, f0, f0_g, f0_l,
+            f0_p, f0_p)
 
 
 blend_entries.defvjp(_blend_fwd, _blend_bwd)

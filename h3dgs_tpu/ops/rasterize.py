@@ -53,8 +53,11 @@ class RasterizeConfig(NamedTuple):
     # compacts away quanta whose tile fully terminated (provably zero
     # gradient) and runs on a stream of this many slots; overflow falls
     # back in-jit to the full stream, so it is lossless. None = auto
-    # (max_entries // 2); 0 = disabled.
-    bwd_entries: Optional[int] = None
+    # (max_entries // 2); 0 = disabled — the default since the round-3
+    # on-chip A/B (2026-08-19: 132.3 ms vs 140.4 with auto at the 1080p
+    # bench point; the faster glue no longer amortizes the compaction's
+    # gather + re-pack overhead).
+    bwd_entries: Optional[int] = 0
     # Pallas transmittance recurrence: "mxu" (log -> triangular-matmul
     # prefix -> exp) or "roll" (direct segmented cumprod, Hillis-Steele).
     prefix_mode: str = "mxu"
@@ -72,6 +75,17 @@ class RasterizeConfig(NamedTuple):
     # the 1080p/200k bench point, grad-probe-identical) and is the
     # default; "gather" remains as the fallback.
     binning_fill: str = "cumsum"
+    # Entry sort: "rank" packs (tile << RB | depth-rank) into one keyless
+    # i32 sort (falls back to "2key" when the bits don't fit);
+    # "2key" is the (tile, depth-bits) + payload sort.
+    sort_mode: str = "rank"
+    # Generation-side entry budget (0 = max_entries). The pre-relayout
+    # stream (owner fill, per-entry table, sort) only has to hold the RAW
+    # duplicate count while max_entries holds the quantum-PADDED aligned
+    # stream (typically 1.2-1.5x bigger) — splitting shrinks every
+    # D-proportional op before the relayout. The trainer sizes both from
+    # its separate n_raw / n_duplicates running maxima.
+    gen_entries: int = 0
     # Forward-kernel post-quantum transmittance: "loop" or "batched"
     # (one masked pass + per-quantum lane slices; bit-exact — see
     # pallas_blend._seg_trans_after_all). Requires quantum >= 128.
@@ -256,7 +270,9 @@ def blend_tiles_pallas(proj: ProjectedGaussians, height: int, width: int,
             "trailing quanta unprocessed but still consumed downstream")
     bins = bin_gaussians_aligned(proj, height, width, config.max_entries,
                                  config.max_per_tile, quantum, tile,
-                                 fill=config.binning_fill)
+                                 fill=config.binning_fill,
+                                 sort_mode=config.sort_mode,
+                                 gen_entries=config.gen_entries)
     bwd_entries = config.bwd_entries
     if bwd_entries is None:
         bwd_entries = max(config.max_entries // 2, config.chunk_e)
@@ -291,7 +307,7 @@ def blend_tiles_pallas(proj: ProjectedGaussians, height: int, width: int,
         bins.tile_start // quantum + n_q_per_tile - 1, -1)
     out = blend_entries(proj.means2d, proj.conic, proj.rgb, proj.opacity,
                         inv_depth, bins.owner, bins.gauss_idx,
-                        last_chunk.astype(jnp.int32),
+                        last_chunk.astype(jnp.int32), bins.perm, bins.rank,
                         n_tiles, tiles_x, tile, pcfg)     # [T, 8, P]
 
     color = out[:, 0:3, :]
@@ -311,9 +327,12 @@ def blend_tiles_pallas(proj: ProjectedGaussians, height: int, width: int,
     image, invdepth, final_t = jax.lax.optimization_barrier(
         (image, invdepth, final_t))
     # Budget pressure = worst of raw duplicates and chunk-padded aligned
-    # slots: either exceeding max_entries drops tail entries/tiles.
+    # slots: either exceeding its buffer drops tail entries/tiles. n_raw
+    # governs gen_entries; the max governs max_entries (when the budgets
+    # are unsplit the aligned stream must also hold the raw count).
     n_need = jnp.maximum(bins.total_entries, bins.aligned_entries)
-    return image, invdepth, final_t, n_need, bins.n_truncated
+    return (image, invdepth, final_t, n_need, bins.n_truncated,
+            bins.total_entries)
 
 
 def blend_auto(proj: ProjectedGaussians, height: int, width: int, bg_color,
@@ -322,7 +341,8 @@ def blend_auto(proj: ProjectedGaussians, height: int, width: int, bg_color,
 
     Returns (image [3,H,W], invdepth [1,H,W], final_T [H,W], n_need [],
     n_truncated [] — entries cut by max_per_tile; the XLA path never
-    truncates per-tile, so it reports 0).
+    truncates per-tile, so it reports 0 — and n_raw [], the raw duplicate
+    count governing the generation-side budget).
     """
     if _use_pallas(config):
         return blend_tiles_pallas(proj, height, width,
@@ -332,7 +352,7 @@ def blend_auto(proj: ProjectedGaussians, height: int, width: int, bg_color,
     image, invdepth, final_t = blend_tiles(
         proj, binned, height, width, jnp.asarray(bg_color), config)
     return (image, invdepth, final_t, binned.total_entries,
-            jnp.zeros((), jnp.int32))
+            jnp.zeros((), jnp.int32), binned.total_entries)
 
 
 def rasterize(
@@ -357,7 +377,7 @@ def rasterize(
                              colors_precomp=colors_precomp)
     if means2d_offset is not None:
         proj = proj._replace(means2d=proj.means2d + means2d_offset)
-    image, invdepth, final_t, n_dup, n_trunc = blend_auto(
+    image, invdepth, final_t, n_dup, n_trunc, n_raw = blend_auto(
         proj, camera.height, camera.width, bg_color, config)
     return {
         "render": image,
@@ -367,4 +387,5 @@ def rasterize(
         "visibility_filter": proj.radius > 0,
         "n_duplicates": n_dup,
         "n_truncated": n_trunc,
+        "n_raw": n_raw,
     }

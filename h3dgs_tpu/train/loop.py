@@ -41,7 +41,9 @@ def raster_config(cfg: FullConfig) -> RasterizeConfig:
                            bwd_chunk_e=r.bwd_chunk_e,
                            scatter_k=r.scatter_k,
                            binning_fill=r.binning_fill,
-                           tafter_mode=r.tafter_mode)
+                           tafter_mode=r.tafter_mode,
+                           sort_mode=r.sort_mode,
+                           gen_entries=max(r.gen_entries, 0))
 
 
 def _entry_bucket(n_dup: int, floor: int, cap: int) -> int:
@@ -62,7 +64,8 @@ def _entry_bucket(n_dup: int, floor: int, cap: int) -> int:
 
 def entry_budget_for_scene(means, scales, quats, opac, shs, camera,
                            sh_degree: int, *, max_per_tile: int = 4096,
-                           floor: int = 1 << 13, cap: int = 1 << 23) -> int:
+                           floor: int = 1 << 13, cap: int = 1 << 23,
+                           quantum: int = 128) -> int:
     """Exact trainer-style entry budget for one view of a static scene.
 
     Two binning-only probes (no blend kernel, so the compiles are cheap):
@@ -84,7 +87,8 @@ def entry_budget_for_scene(means, scales, quats, opac, shs, camera,
                                  sh_degree)
         bins = bin_gaussians_aligned(proj, camera.height, camera.width,
                                      max_entries=d,
-                                     max_per_tile=max_per_tile, chunk_e=128)
+                                     max_per_tile=max_per_tile,
+                                     chunk_e=quantum)
         return bins.total_entries, bins.aligned_entries
 
     total = int(jax.jit(need, static_argnums=1)(means, 1 << 13)[0])
@@ -92,6 +96,40 @@ def entry_budget_for_scene(means, scales, quats, opac, shs, camera,
     total2, aligned = map(int, jax.jit(need, static_argnums=1)(means, d2))
     budget = _entry_bucket(max(total2, aligned), floor, cap)
     return -(-budget // 1024) * 1024
+
+
+def entry_budgets_for_scene(*args, **kwargs) -> tuple:
+    """(gen_entries, max_entries) pair for one view of a static scene.
+
+    Same probes as entry_budget_for_scene, but returns the SPLIT budgets
+    the adaptive trainer converges to: the generation-side stream sized
+    to the raw duplicate count, the aligned stream to the padded need
+    (ops/binning.bin_gaussians_aligned gen_entries)."""
+    from ..ops.binning import bin_gaussians_aligned
+    from ..ops.projection import project_gaussians
+
+    (means, scales, quats, opac, shs, camera, sh_degree) = args
+    max_per_tile = kwargs.get("max_per_tile", 4096)
+    floor = kwargs.get("floor", 1 << 13)
+    cap = kwargs.get("cap", 1 << 23)
+    quantum = kwargs.get("quantum", 128)
+
+    def need(ms, d):
+        proj = project_gaussians(ms, scales, quats, opac, shs, camera,
+                                 sh_degree)
+        bins = bin_gaussians_aligned(proj, camera.height, camera.width,
+                                     max_entries=d,
+                                     max_per_tile=max_per_tile,
+                                     chunk_e=quantum)
+        return bins.total_entries, bins.aligned_entries
+
+    total = int(jax.jit(need, static_argnums=1)(means, 1 << 13)[0])
+    d2 = min(-(-max(total, 1) // 1024) * 1024, cap)
+    total2, aligned = map(int, jax.jit(need, static_argnums=1)(means, d2))
+    budget = -(-_entry_bucket(max(total2, aligned), floor, cap)
+               // 1024) * 1024
+    gen = min(_entry_bucket(total2, floor, cap), budget)
+    return gen, budget
 
 
 def _capacity_bucket(cap: int, n_drop: int, max_cap: int) -> int:
@@ -310,6 +348,12 @@ def train_flat(cfg: FullConfig, scene: Scene, coarse: bool = False,
     # on pressure, shrinks only after a sustained quiet window.
     entry_cap = r_cfg.max_entries  # rounded to whole grid steps
     entry_floor = min(1 << 17, entry_cap)
+    # Split generation/aligned budgets (RasterizeConfig.gen_entries): the
+    # raw duplicate count drives gen, the padded aligned need drives
+    # max_entries. gen starts unsplit (= max_entries) and tightens once
+    # the first window's n_raw maximum is observed.
+    split_gen = (cfg.runtime.gen_entries < 0
+                 and cfg.runtime.adaptive_entries)
     if cfg.runtime.adaptive_entries:
         r_cfg = r_cfg._replace(max_entries=max(entry_cap // 2, entry_floor))
     step = build_step(r_cfg)
@@ -337,6 +381,7 @@ def train_flat(cfg: FullConfig, scene: Scene, coarse: bool = False,
     # every iteration without a host sync, read only at log points.
     ndup_max = jnp.int32(0)
     ntrunc_max = jnp.int32(0)
+    nraw_max = jnp.int32(0)
 
     try:
         for it in range(first_iter + 1, opt_cfg.iterations + 1):
@@ -358,6 +403,7 @@ def train_flat(cfg: FullConfig, scene: Scene, coarse: bool = False,
             log.update(out.photo_loss, out.depth_loss)
             ndup_max = jnp.maximum(ndup_max, out.n_duplicates)
             ntrunc_max = jnp.maximum(ntrunc_max, out.n_truncated)
+            nraw_max = jnp.maximum(nraw_max, out.n_raw)
 
             if not coarse and it < opt_cfg.densify_until_iter:
                 if (it > opt_cfg.densify_from_iter
@@ -400,8 +446,10 @@ def train_flat(cfg: FullConfig, scene: Scene, coarse: bool = False,
                 n_alive = int(state.n_alive)
                 n_dup = int(ndup_max)      # window max, not last view
                 n_trunc = int(ntrunc_max)
+                n_raw = int(nraw_max)
                 ndup_max = jnp.int32(0)
                 ntrunc_max = jnp.int32(0)
+                nraw_max = jnp.int32(0)
                 rate = it / max(time.time() - log.t_start, 1e-9)
                 msg = (f"[{it}/{opt_cfg.iterations}] "
                        f"loss={log.ema_photo:.5f} "
@@ -424,23 +472,40 @@ def train_flat(cfg: FullConfig, scene: Scene, coarse: bool = False,
                 # same program); only the logging is primary-gated.
                 if cfg.runtime.adaptive_entries:
                     want = _entry_bucket(n_dup, entry_floor, entry_cap)
+                    # Generation-side budget follows the RAW duplicate
+                    # count (no quantum padding); overflow there drops
+                    # entries at generation, so it grows with the same
+                    # immediacy as the aligned budget. Never above the
+                    # aligned budget (a bigger gen stream buys nothing).
+                    gen_want = (min(_entry_bucket(n_raw, entry_floor,
+                                                  entry_cap), want)
+                                if split_gen else r_cfg.gen_entries)
                     cur = r_cfg.max_entries
-                    if want > cur:
+                    cur_gen = r_cfg.gen_entries
+                    grow = want > cur or (split_gen and gen_want > cur_gen
+                                          and cur_gen > 0)
+                    if grow:
                         shrink_votes = 0
-                        r_cfg = r_cfg._replace(max_entries=want)
+                        r_cfg = r_cfg._replace(max_entries=max(want, cur),
+                                               gen_entries=gen_want)
                         step = build_step(r_cfg)
                         if primary:
-                            print(f"[{it}] entry budget {cur} -> {want}",
+                            print(f"[{it}] entry budget {cur} -> "
+                                  f"{r_cfg.max_entries} "
+                                  f"(gen {cur_gen} -> {gen_want})",
                                   flush=True)
-                    elif want < cur:
+                    elif want < cur or (split_gen
+                                        and gen_want != cur_gen):
                         shrink_votes += 1
                         if shrink_votes >= 6:
                             shrink_votes = 0
-                            r_cfg = r_cfg._replace(max_entries=want)
+                            r_cfg = r_cfg._replace(max_entries=want,
+                                                   gen_entries=gen_want)
                             step = build_step(r_cfg)
                             if primary:
                                 print(f"[{it}] entry budget {cur} -> "
-                                      f"{want}", flush=True)
+                                      f"{want} (gen {cur_gen} -> "
+                                      f"{gen_want})", flush=True)
                     else:
                         shrink_votes = 0
                 if progress_cb:

@@ -1,5 +1,9 @@
 """Micro-profile binning internals and blend-backward pieces on TPU.
 
+SUPERSEDED by scripts/profile_binning.py, which covers the same probes
+with per-item crash isolation (VERDICT r2 weak-8) plus the round-3 glue
+candidates. Kept for the historical r2 ledger numbers.
+
 Run: /opt/venv/bin/python scripts/profile_micro.py
 """
 from __future__ import annotations

@@ -62,8 +62,9 @@ def main():
     shs[:, 1:] = rng.normal(0, 0.05, (n, 15, 3))
     cam = look_at_camera(eye=(0.0, -1.0, -6.0), target=(0, 0, 0), fovx=1.2,
                          width=w, height=h)
+    # The r3 A/B winner flags (2026-08-19): E=512 Q=128 cumsum rank bwd=0.
     cfg = RasterizeConfig(max_entries=1 << 21, max_per_tile=4096,
-                          chunk_e=256, quantum=128)
+                          chunk_e=512, quantum=128, bwd_entries=0)
     bg = jnp.zeros(3, jnp.float32)
     params = tuple(jnp.asarray(a) for a in (means, scales, quats, opac, shs))
     target = jnp.zeros((3, h, w), jnp.float32) + 0.3
@@ -94,20 +95,23 @@ def main():
                            + n_q_per_tile - 1, -1).astype(jnp.int32)
 
     t = bench_fn(lambda m2d: pack_entries(
-        m2d, proj.conic, proj.rgb, proj.opacity, inv_depth, bins.gauss_idx),
+        m2d, proj.conic, proj.rgb, proj.opacity, inv_depth, bins.gauss_idx,
+        bins.perm),
         (proj.means2d,))
     print(f"pack_entries          : {t * 1e3:8.2f} ms")
 
     t = bench_fn(lambda m2d: blend_entries(
         m2d, proj.conic, proj.rgb, proj.opacity, inv_depth, bins.owner,
-        bins.gauss_idx, last_chunk, n_tiles, tiles_x, binning.TILE, pcfg),
+        bins.gauss_idx, last_chunk, bins.perm, bins.rank,
+        n_tiles, tiles_x, binning.TILE, pcfg),
         (proj.means2d,))
     print(f"blend fwd (pallas)    : {t * 1e3:8.2f} ms")
 
     def blend_loss(m2d):
         out = blend_entries(m2d, proj.conic, proj.rgb, proj.opacity,
                             inv_depth, bins.owner, bins.gauss_idx,
-                            last_chunk, n_tiles, tiles_x, binning.TILE, pcfg)
+                            last_chunk, bins.perm, bins.rank,
+                            n_tiles, tiles_x, binning.TILE, pcfg)
         return jnp.sum(out[:, 0:3, :] ** 2)
 
     t = bench_fn(lambda m2d: jax.grad(blend_loss)(m2d), (proj.means2d,))

@@ -71,13 +71,20 @@ def main(iters: int = 5000):
 
     print("rendering GT views...", flush=True)
     t0 = time.time()
-    targets = []
-    for cam in cams:
-        img = rasterize(jnp.asarray(xyz), jnp.asarray(gt_scale),
-                        jnp.asarray(gt_quat), jnp.asarray(gt_opac),
-                        jnp.asarray(gt_sh), cam, 0, bg,
-                        config=gt_cfg)["render"]
-        targets.append(jnp.clip(img, 0.0, 1.0))
+    # One jitted render reused across the orbit (Camera is a pytree with
+    # static width/height, so a single compile serves every view) — the
+    # eager per-view dispatch this replaces took 370 s over the tunnel
+    # (VERDICT r2 weak-7).
+    gt_args = (jnp.asarray(xyz), jnp.asarray(gt_scale),
+               jnp.asarray(gt_quat), jnp.asarray(gt_opac),
+               jnp.asarray(gt_sh))
+
+    @jax.jit
+    def render_gt(cam):
+        img = rasterize(*gt_args, cam, 0, bg, config=gt_cfg)["render"]
+        return jnp.clip(img, 0.0, 1.0)
+
+    targets = [render_gt(cam) for cam in cams]
     jax.block_until_ready(targets[-1])
     print(f"GT render: {time.time() - t0:.1f}s", flush=True)
 

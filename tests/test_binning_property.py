@@ -88,6 +88,11 @@ def test_aligned_stream_matches_bruteforce(seed):
                           quantum, binning.TILE)
 
     gauss = np.asarray(bins.gauss_idx)
+    if bins.perm is not None:
+        # Rank-key mode: entries carry depth ranks; map back to ids
+        # (padding -1 stays -1).
+        perm = np.asarray(bins.perm)
+        gauss = np.where(gauss >= 0, perm[np.maximum(gauss, 0)], -1)
     start = np.asarray(bins.tile_start)
     count = np.asarray(bins.tile_count)
     assert int(np.asarray(bins.aligned_entries)) <= d, "scene too big"
@@ -150,6 +155,44 @@ def test_cumsum_fill_matches_gather(seed, d):
         np.testing.assert_array_equal(np.asarray(getattr(a, name)),
                                       np.asarray(getattr(b, name)),
                                       err_msg=name)
+
+
+@pytest.mark.parametrize("seed", [0, 5])
+def test_split_gen_budget_matches_unsplit(seed):
+    """gen_entries (split generation budget) must be invisible when it
+    holds all raw duplicates: every AlignedBins field identical to the
+    single-buffer run, for both fill modes."""
+    means, scales, quats, opac, shs = random_scene(120, seed, sh_degree=1)
+    cam = make_test_camera(width=64, height=48)
+    proj = project_gaussians(jnp.asarray(means), jnp.asarray(scales),
+                             jnp.asarray(quats), jnp.asarray(opac),
+                             jnp.asarray(shs), cam, 1, 1.0)
+    d = 1 << 12
+    for fill in ("gather", "cumsum"):
+        a = binning.bin_gaussians_aligned(proj, cam.height, cam.width, d,
+                                          64, 128, fill=fill)
+        total = int(a.total_entries)
+        assert total < d, "scene must fit"
+        # Tight gen buffer (>= total, < d) and an undersized one.
+        b = binning.bin_gaussians_aligned(proj, cam.height, cam.width, d,
+                                          64, 128, fill=fill,
+                                          gen_entries=total + 7)
+        for name in a._fields:
+            va, vb = getattr(a, name), getattr(b, name)
+            if va is None:
+                assert vb is None
+            else:
+                np.testing.assert_array_equal(np.asarray(va),
+                                              np.asarray(vb),
+                                              err_msg=f"{fill}/{name}")
+        # Undersized gen drops trailing entries but must stay in-bounds
+        # and keep quantum alignment of what survives.
+        c = binning.bin_gaussians_aligned(proj, cam.height, cam.width, d,
+                                          64, 128, fill=fill,
+                                          gen_entries=max(total // 2, 128))
+        g = np.asarray(c.gauss_idx)
+        assert g.shape[0] == d
+        assert int(c.total_entries) == total  # raw count still exact
 
 
 def test_cumsum_fill_degenerate_cases():

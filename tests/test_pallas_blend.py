@@ -180,7 +180,7 @@ def test_bwd_truncation_drops_quanta():
                                  256, 128)
     packed = pack_entries(proj.means2d, proj.conic, proj.rgb, proj.opacity,
                           1.0 / jnp.maximum(proj.depth, 1e-6),
-                          bins.gauss_idx)
+                          bins.gauss_idx, bins.perm)
     tiles_x = -(-cam.width // 16)
     chunk_out = pallas_blend_fwd(
         packed, bins.owner, tiles_x=tiles_x, tile=16,
