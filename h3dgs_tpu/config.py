@@ -80,10 +80,11 @@ class RuntimeConfig:
     max_per_tile: int = 1024
     blend_chunk: int = 32
     # Pallas blend entries per grid step. With the blockwise segmented
-    # prefix (linear in chunk_e) 512 beats 256 by ~15% on v5e; 1024
-    # exceeds the ~16MB VMEM scoped limit in the backward kernel.
-    # Padding is governed by `quantum`, not chunk_e.
-    chunk_e: int = 512
+    # prefix (linear in chunk_e) 512 beats 256 by ~15% on v5e, and 1024
+    # paired with a 512-wide backward won the 2026-08-19 self-tune (a
+    # symmetric 1024 backward exceeds the ~16MB VMEM scope). Padding is
+    # governed by `quantum`, not chunk_e.
+    chunk_e: int = 1024
     # Per-tile alignment quantum of the entry stream (<= chunk_e); the
     # kernel handles several quanta per grid step (segmented prefix).
     quantum: int = 128
@@ -109,7 +110,7 @@ class RuntimeConfig:
     # Backward grid-step width (0 = same as chunk_e): the backward's VMEM
     # scope is ~2x the forward's, so a wide forward (e.g. 1024) pairs with
     # a narrower backward. Multiple of quantum, divides the entry budget.
-    bwd_chunk_e: int = 0
+    bwd_chunk_e: int = 512
     # Glue-op alternatives (see ops/rasterize.RasterizeConfig + SOL.md):
     # K-slot gradient scatter (0 = plain scatter-add), binning per-entry
     # table fill ("gather" | "cumsum"), forward post-quantum
@@ -118,7 +119,7 @@ class RuntimeConfig:
     # "cumsum" won the 2026-08-18 on-chip A/B (bench stage-3); see
     # ops/rasterize.RasterizeConfig.
     binning_fill: str = "cumsum"
-    tafter_mode: str = "loop"
+    tafter_mode: str = "batched"
     # Entry sort implementation ("rank" | "2key", ops/binning).
     sort_mode: str = "rank"
     # Generation-side entry budget (0 = max_entries; -1 = adaptive split

@@ -47,7 +47,10 @@ class RasterizeConfig(NamedTuple):
     # path elsewhere; "pallas" / "xla" force one. The Pallas path ignores
     # ``chunk``/``remat`` and uses chunk_e-entry grid steps.
     backend: str = "auto"
-    chunk_e: int = 512              # Pallas entries per grid step
+    # Pallas entries per grid step (fwd). 1024 paired with a 512-wide
+    # backward won the 2026-08-19 bench self-tune; both must divide
+    # max_entries (the trainer budget fn emits 1024-multiples).
+    chunk_e: int = 1024
     quantum: int = 128              # per-tile alignment unit (<= chunk_e)
     # Backward termination-truncation budget (Pallas path): the backward
     # compacts away quanta whose tile fully terminated (provably zero
@@ -63,7 +66,7 @@ class RasterizeConfig(NamedTuple):
     prefix_mode: str = "mxu"
     # Backward grid-step width (0 = chunk_e): lets a wide forward pair
     # with a narrower backward (the bwd kernel's VMEM scope is ~2x).
-    bwd_chunk_e: int = 0
+    bwd_chunk_e: int = 512
     # K-slot gradient scatter (0 = plain scatter-add): spread each
     # Gaussian's updates over K destinations + dense [N,K,16] reduce
     # (pallas_blend.scatter_entry_grads, SOL.md round-3 candidate B).
@@ -89,7 +92,8 @@ class RasterizeConfig(NamedTuple):
     # Forward-kernel post-quantum transmittance: "loop" or "batched"
     # (one masked pass + per-quantum lane slices; bit-exact — see
     # pallas_blend._seg_trans_after_all). Requires quantum >= 128.
-    tafter_mode: str = "loop"
+    # "batched" won the 2026-08-19 bench self-tune at E=1024 (S=8).
+    tafter_mode: str = "batched"
     # Mesh axis name to shard the per-tile blend over (pixels/tiles are the
     # natural SPMD axis of splatting). Requires an ambient mesh
     # (jax.set_mesh); Gaussian/entry arrays stay replicated and XLA inserts

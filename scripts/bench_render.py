@@ -61,9 +61,6 @@ def main():
                                            splat_cut_gaussians)
 
     w, hh = 1920, 1080
-    # bwd_entries=0: forward-only blend (no backward bookkeeping rows).
-    cfg = RasterizeConfig(max_entries=5 << 19, max_per_tile=4096,
-                          bwd_entries=0)
     max_cut = 1 << int(np.ceil(np.log2(h.n_leaves * 1.25)))
     max_cut = min(max_cut, h.n_nodes)
     bg = jnp.zeros(3, jnp.float32)
@@ -72,6 +69,25 @@ def main():
                            target=(0, 0, 0), fovx=1.2, width=w, height=hh)
             for a in np.linspace(0, 2 * np.pi, 16, endpoint=False)]
     cam_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
+
+    # Honest budget: probe the worst cut (tau=0) on a few orbit views and
+    # take the trainer-style bucket — the r2 bench hardcoded 5<<19, which
+    # taxed every D-proportional op ~25% beyond the real need.
+    from h3dgs_tpu.hierarchy.cut import pixel_limit as _pl
+    from h3dgs_tpu.train.loop import entry_budget_for_scene
+
+    lim0 = jnp.float32(_pl(0.0, float(cams[0].tanfovx), w))
+    budget = 0
+    for ci in (0, 5, 11):
+        flat, _cnt = jax.jit(
+            lambda c: select_cut_gaussians(
+                state, nodes, boxes, c.cam_center, lim0, max_cut))(cams[ci])
+        budget = max(budget, entry_budget_for_scene(
+            flat[0], flat[1], flat[2], flat[3], flat[4], cams[ci], 3))
+    print(f"render budget {budget}")
+    # bwd_entries=0: forward-only blend (no backward bookkeeping rows).
+    cfg = RasterizeConfig(max_entries=budget, max_per_tile=4096,
+                          bwd_entries=0)
 
     @jax.jit
     def frame(cam_leaves, i, limit):
