@@ -107,10 +107,11 @@ class RuntimeConfig:
     bwd_entries: int = 0
     # Pallas transmittance recurrence: "mxu" or "roll" (see pallas_blend).
     prefix_mode: str = "mxu"
-    # Backward grid-step width (0 = same as chunk_e): the backward's VMEM
-    # scope is ~2x the forward's, so a wide forward (e.g. 1024) pairs with
-    # a narrower backward. Multiple of quantum, divides the entry budget.
-    bwd_chunk_e: int = 512
+    # Backward grid-step width (0 = auto: 512 when shapes allow, else
+    # chunk_e): the backward's VMEM scope is ~2x the forward's, so a wide
+    # forward (e.g. 1024) pairs with a narrower backward. Multiple of
+    # quantum, divides the entry budget.
+    bwd_chunk_e: int = 0
     # Glue-op alternatives (see ops/rasterize.RasterizeConfig + SOL.md):
     # K-slot gradient scatter (0 = plain scatter-add), binning per-entry
     # table fill ("gather" | "cumsum"), forward post-quantum

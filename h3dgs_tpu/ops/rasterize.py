@@ -64,9 +64,11 @@ class RasterizeConfig(NamedTuple):
     # Pallas transmittance recurrence: "mxu" (log -> triangular-matmul
     # prefix -> exp) or "roll" (direct segmented cumprod, Hillis-Steele).
     prefix_mode: str = "mxu"
-    # Backward grid-step width (0 = chunk_e): lets a wide forward pair
-    # with a narrower backward (the bwd kernel's VMEM scope is ~2x).
-    bwd_chunk_e: int = 512
+    # Backward grid-step width: lets a wide forward pair with a narrower
+    # backward (the bwd kernel's VMEM scope is ~2x). 0 = auto: 512 when
+    # the shapes allow (the 2026-08-19 bench winner at chunk_e=1024),
+    # else chunk_e.
+    bwd_chunk_e: int = 0
     # K-slot gradient scatter (0 = plain scatter-add): spread each
     # Gaussian's updates over K destinations + dense [N,K,16] reduce
     # (pallas_blend.scatter_entry_grads, SOL.md round-3 candidate B).
@@ -286,7 +288,13 @@ def blend_tiles_pallas(proj: ProjectedGaussians, height: int, width: int,
             f"bwd_entries ({bwd_entries}) must be a multiple of chunk_e "
             f"({config.chunk_e}); the backward grid would leave trailing "
             "quanta unprocessed")
-    bwd_e = config.bwd_chunk_e or config.chunk_e
+    bwd_e = config.bwd_chunk_e
+    if not bwd_e:
+        bwd_e = config.chunk_e
+        if (config.chunk_e > 512 and 512 % quantum == 0
+                and config.max_entries % 512 == 0
+                and (not bwd_entries or bwd_entries % 512 == 0)):
+            bwd_e = 512  # auto-pair wide forwards with a 512 backward
     if bwd_e % quantum or config.max_entries % bwd_e or \
             (bwd_entries and bwd_entries % bwd_e):
         raise ValueError(

@@ -78,13 +78,14 @@ def main():
 
     lim0 = jnp.float32(_pl(0.0, float(cams[0].tanfovx), w))
     budget = 0
+    sel_jit = jax.jit(lambda c: select_cut_gaussians(
+        state, nodes, boxes, c.cam_center, lim0, max_cut))
     for ci in (0, 5, 11):
-        flat, _cnt = jax.jit(
-            lambda c: select_cut_gaussians(
-                state, nodes, boxes, c.cam_center, lim0, max_cut))(cams[ci])
+        print(f"budget probe cam {ci}...", flush=True)
+        flat = sel_jit(cams[ci])[:5]
         budget = max(budget, entry_budget_for_scene(
             flat[0], flat[1], flat[2], flat[3], flat[4], cams[ci], 3))
-    print(f"render budget {budget}")
+    print(f"render budget {budget}", flush=True)
     # bwd_entries=0: forward-only blend (no backward bookkeeping rows).
     cfg = RasterizeConfig(max_entries=budget, max_per_tile=4096,
                           bwd_entries=0)

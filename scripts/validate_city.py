@@ -1,0 +1,328 @@
+"""Two-chunk synthetic city block through the FULL CLI pipeline on chip.
+
+The reference's de-facto integration test is its toy dataset: 1500 images
+over 2 chunks through scripts/full_train.py (/root/reference/README.md:7,92).
+This is the TPU equivalent at reduced-but-realistic scale (VERDICT r2
+next-5): a procedurally generated street scene (ground + facades,
+~220k GT splats), ~120 cameras along the street, per-image exposure
+perturbations, GT inverse-depth maps and alpha masks — written as a real
+COLMAP project with 2 chunk directories, trained end-to-end by
+h3dgs_tpu.cli.full_train (coarse -> per-chunk single/hierarchy/post ->
+merge), then evaluated: merged-hierarchy tau-sweep PSNR/SSIM on held-out
+views plus a seam metric over views straddling the chunk boundary.
+
+Artifacts: docs/city/metrics.json + GT/render PNG pairs + orbit strip.
+Run (on the chip):
+  PYTHONPATH=.:tests /opt/venv/bin/python scripts/validate_city.py
+Env: CITY_N (GT splats, default 220000), CITY_CAMS (default 120),
+CITY_ITERS (train iters/phase, default 3000), CITY_WH (default 968x544).
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+N_GT = int(os.environ.get("CITY_N", 220_000))
+N_CAMS = int(os.environ.get("CITY_CAMS", 120))
+ITERS = int(os.environ.get("CITY_ITERS", 3000))
+W, H = (int(v) for v in os.environ.get("CITY_WH", "968x544").split("x"))
+STREET_X = 8.0   # street runs along x in [-STREET_X, STREET_X]
+CHUNK_SPLIT = 0.0
+CHUNK_OVERLAP = 1.5
+
+
+def make_city(rng):
+    """Ground + two rows of building facades with window patterns."""
+    n_ground = N_GT // 3
+    n_fac = N_GT - n_ground
+    # Ground: y = 0 plane (y is down in our cameras' world).
+    gx = rng.uniform(-STREET_X, STREET_X, n_ground).astype(np.float32)
+    gz = rng.uniform(-3.0, 3.0, n_ground).astype(np.float32)
+    gy = (0.02 * rng.normal(size=n_ground)).astype(np.float32)
+    ground = np.stack([gx, gy, gz], 1)
+    checker = (np.floor(gx * 2) + np.floor(gz * 2)) % 2
+    g_rgb = np.stack([0.35 + 0.25 * checker,
+                      0.35 + 0.20 * checker,
+                      0.35 + 0.15 * checker], 1).astype(np.float32)
+    # Facades: z = +-3 walls, height up to y = -3 (negative y is up).
+    fx = rng.uniform(-STREET_X, STREET_X, n_fac).astype(np.float32)
+    fy = -rng.uniform(0.0, 3.0, n_fac).astype(np.float32)
+    side = (rng.random(n_fac) > 0.5)
+    fz = np.where(side, 3.0, -3.0).astype(np.float32)
+    fz += (0.03 * rng.normal(size=n_fac)).astype(np.float32)
+    fac = np.stack([fx, fy, fz], 1)
+    # Building id drives color; windows = bright rectangles.
+    bld = np.floor((fx + STREET_X) / 2.0)
+    base = np.stack([0.25 + 0.1 * (bld % 3),
+                     0.2 + 0.12 * (bld % 4),
+                     0.2 + 0.08 * (bld % 5)], 1).astype(np.float32)
+    win = ((np.abs((fx * 2.5) % 2.0 - 1.0) < 0.45)
+           & (np.abs((fy * 2.5) % 2.0 - 1.0) < 0.45))
+    f_rgb = np.where(win[:, None],
+                     np.asarray([[0.9, 0.85, 0.6]], np.float32), base)
+    means = np.concatenate([ground, fac])
+    rgb = np.concatenate([g_rgb, f_rgb])
+    n = means.shape[0]
+    scales = np.exp(rng.uniform(np.log(0.015), np.log(0.04),
+                                (n, 3))).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    opac = rng.uniform(0.6, 0.95, n).astype(np.float32)
+    from h3dgs_tpu.utils.sh import rgb_to_sh
+    shs = np.zeros((n, 1, 3), np.float32)
+    shs[:, 0] = rgb_to_sh(rgb)
+    return means, scales, quats, opac, shs, rgb
+
+
+def street_cameras():
+    from h3dgs_tpu.scene.camera import look_at_camera
+    cams, eyes = [], []
+    rng = np.random.default_rng(7)
+    for i in range(N_CAMS):
+        t = i / (N_CAMS - 1)
+        x = -STREET_X * 0.85 + 2 * STREET_X * 0.85 * t
+        z = 1.1 * np.sin(t * 9.0)
+        y = -1.5 + 0.2 * np.sin(t * 5.0)
+        # Alternate forward / sideways looks (reference street captures).
+        mode = i % 4
+        if mode == 0:
+            tgt = (x + 3.0, -1.0, z * 0.5)
+        elif mode == 1:
+            tgt = (x + 1.0, -1.2, 3.0)
+        elif mode == 2:
+            tgt = (x + 1.0, -1.2, -3.0)
+        else:
+            tgt = (x - 3.0, -1.0, z * 0.5)
+        cams.append(look_at_camera(eye=(x, y, z), target=tgt, fovx=1.2,
+                                   width=W, height=H))
+        eyes.append((x, y, z))
+    return cams, np.asarray(eyes)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from PIL import Image
+
+    from h3dgs_tpu.io import colmap as colmap_io
+    from h3dgs_tpu.ops.rasterize import RasterizeConfig, rasterize
+    from h3dgs_tpu.train.loop import entry_budget_for_scene
+
+    out_doc = os.path.join(REPO, "docs", "city")
+    os.makedirs(out_doc, exist_ok=True)
+    work = os.environ.get("CITY_WORK", "/tmp/h3dgs_city")
+    if os.path.exists(work):
+        shutil.rmtree(work)
+    aligned = os.path.join(work, "camera_calibration/aligned")
+    chunks_dir = os.path.join(work, "camera_calibration/chunks")
+    img_dir = os.path.join(aligned, "images")
+    depth_dir = os.path.join(aligned, "depths")
+    mask_dir = os.path.join(aligned, "masks")
+    for p in (os.path.join(aligned, "sparse/0"), img_dir, depth_dir,
+              mask_dir):
+        os.makedirs(p)
+
+    rng = np.random.default_rng(0)
+    print(f"[1/5] GT city: {N_GT} splats, {N_CAMS} cams @ {W}x{H}",
+          flush=True)
+    means, scales, quats, opac, shs, rgb = make_city(rng)
+    cams, eyes = street_cameras()
+
+    budget = entry_budget_for_scene(
+        jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+        jnp.asarray(opac), jnp.asarray(shs), cams[N_CAMS // 2], 0)
+    gt_cfg = RasterizeConfig(max_entries=budget, max_per_tile=4096,
+                             bwd_entries=0)
+    gt_args = tuple(jnp.asarray(a)
+                    for a in (means, scales, quats, opac, shs))
+    bg = jnp.zeros(3, jnp.float32)
+
+    @jax.jit
+    def render_gt(cam):
+        out = rasterize(*gt_args, cam, 0, bg, config=gt_cfg)
+        return (jnp.clip(out["render"], 0, 1), out["invdepth"][0],
+                out["n_duplicates"])
+
+    # Per-image exposure gains (test views stay at identity so the eval
+    # compares in canonical color space).
+    test_every = 10
+    gains = 1.0 + rng.uniform(-0.12, 0.12, (N_CAMS, 3)).astype(np.float32)
+    mask = np.ones((H, W), np.uint8) * 255
+    mask[:8] = mask[-8:] = 0
+    mask[:, :8] = mask[:, -8:] = 0
+    Image.fromarray(mask).save(os.path.join(mask_dir, "_proto.png"))
+
+    colmap_cams, colmap_imgs = {}, {}
+    test_names, depth_params = [], {}
+    t0 = time.time()
+    for i, cam in enumerate(cams):
+        img, invd, ndup = render_gt(cam)
+        assert int(ndup) <= budget, f"GT budget overflow view {i}"
+        img = np.asarray(img)
+        is_test = (i % test_every == 0)
+        if not is_test:
+            img = np.clip(img * gains[i][:, None, None], 0, 1)
+        name = f"street_{i:04d}.png"
+        Image.fromarray((img.transpose(1, 2, 0) * 255).astype(
+            np.uint8)).save(os.path.join(img_dir, name))
+        # 16-bit inverse depth + per-image scale (make_depth_scale format).
+        invd = np.asarray(invd)
+        dmax = float(invd.max()) or 1.0
+        Image.fromarray(
+            (np.clip(invd / dmax, 0, 1) * 65535).astype(np.uint16)).save(
+            os.path.join(depth_dir, f"street_{i:04d}.png"))
+        depth_params[f"street_{i:04d}"] = {
+            "scale": dmax, "offset": 0.0, "med_scale": dmax}
+        shutil.copy(os.path.join(mask_dir, "_proto.png"),
+                    os.path.join(mask_dir, name))
+        fx = W / (2.0 * float(cam.tanfovx))
+        fy = H / (2.0 * float(cam.tanfovy))
+        colmap_cams[i + 1] = colmap_io.ColmapCamera(
+            i + 1, "PINHOLE", W, H,
+            np.asarray([fx, fy, W / 2.0, H / 2.0]))
+        view = np.asarray(cam.view)
+        colmap_imgs[i + 1] = colmap_io.ColmapImage(
+            i + 1, colmap_io.rotmat2qvec(view[:3, :3]),
+            view[:3, 3].astype(np.float64), i + 1, name,
+            np.zeros((0, 2)), np.zeros(0, np.int64))
+        if is_test:
+            test_names.append(name)
+    os.remove(os.path.join(mask_dir, "_proto.png"))
+    print(f"  GT render+write: {time.time() - t0:.1f}s", flush=True)
+
+    # Sparse SfM-like points: noisy subsample of the GT surfaces.
+    n_pts = min(60_000, N_GT // 2)
+    sel = rng.choice(N_GT, n_pts, replace=False)
+    pts_xyz = means[sel] + rng.normal(0, 0.03, (n_pts, 3))
+    pts = colmap_io.ColmapPoints3D(
+        ids=np.arange(1, n_pts + 1, dtype=np.int64),
+        xyz=pts_xyz.astype(np.float64),
+        rgb=(rgb[sel] * 255).astype(np.uint8),
+        error=np.zeros(n_pts),
+        track_offsets=np.zeros(n_pts + 1, np.int64),
+        track_image_ids=np.zeros(0, np.int32),
+        track_point2d_idxs=np.zeros(0, np.int32))
+
+    def write_model(dst, keep_img_ids, keep_pt_mask):
+        os.makedirs(dst, exist_ok=True)
+        cc = {k: v for k, v in colmap_cams.items() if k in keep_img_ids}
+        ci = {k: v for k, v in colmap_imgs.items() if k in keep_img_ids}
+        pm = np.flatnonzero(keep_pt_mask)
+        cp = colmap_io.ColmapPoints3D(
+            ids=pts.ids[pm], xyz=pts.xyz[pm], rgb=pts.rgb[pm],
+            error=pts.error[pm],
+            track_offsets=np.zeros(len(pm) + 1, np.int64),
+            track_image_ids=np.zeros(0, np.int32),
+            track_point2d_idxs=np.zeros(0, np.int32))
+        colmap_io.write_model_binary(dst, cc, ci, cp)
+        with open(os.path.join(dst, "test.txt"), "w") as f:
+            f.write("\n".join(test_names) + "\n")
+        with open(os.path.join(dst, "depth_params.json"), "w") as f:
+            json.dump(depth_params, f)
+
+    print("[2/5] COLMAP project (aligned + 2 chunks)", flush=True)
+    write_model(os.path.join(aligned, "sparse/0"),
+                set(colmap_imgs), np.ones(n_pts, bool))
+    for name, lo, hi in (("0_0", -STREET_X, CHUNK_SPLIT),
+                         ("1_0", CHUNK_SPLIT, STREET_X)):
+        cdir = os.path.join(chunks_dir, name)
+        keep_imgs = {i + 1 for i in range(N_CAMS)
+                     if lo - CHUNK_OVERLAP <= eyes[i, 0]
+                     <= hi + CHUNK_OVERLAP}
+        keep_pts = ((pts_xyz[:, 0] >= lo - CHUNK_OVERLAP)
+                    & (pts_xyz[:, 0] <= hi + CHUNK_OVERLAP))
+        write_model(os.path.join(cdir, "sparse/0"), keep_imgs, keep_pts)
+        with open(os.path.join(cdir, "center.txt"), "w") as f:
+            f.write(f"{(lo + hi) / 2} -1.5 0\n")
+        with open(os.path.join(cdir, "extent.txt"), "w") as f:
+            f.write(f"{hi - lo} 6 8\n")
+
+    print(f"[3/5] full_train ({ITERS} iters/phase, 2 chunks)", flush=True)
+    from h3dgs_tpu.cli import full_train
+    extra = (f"--iterations {ITERS} --skybox_num 2000 "
+             f"--max_entries {1 << 22} --max_per_tile 4096 "
+             f"--position_lr_max_steps {ITERS} "
+             f"--densify_until_iter {ITERS // 2} "
+             f"--densification_interval 300")
+    t0 = time.time()
+    full_train.main(["--project_dir", work,
+                     "--images_dir", img_dir,
+                     "--depths_dir", depth_dir,
+                     "--masks_dir", mask_dir,
+                     "--iterations", str(ITERS),
+                     "--extra_training_args", extra])
+    train_min = (time.time() - t0) / 60
+    print(f"  full_train wall: {train_min:.1f} min", flush=True)
+
+    print("[4/5] merged-hierarchy tau-sweep eval", flush=True)
+    merged = os.path.join(work, "output/merged.hier")
+    eval_dir = os.path.join(work, "output/eval")
+    from h3dgs_tpu.cli import render_hierarchy
+    render_hierarchy.main([
+        "-s", aligned, "-i", img_dir, "--model_path", eval_dir,
+        "--hierarchy", merged, "--eval",
+        "--taus", "0.0", "3.0", "6.0",
+        "--max_entries", str(1 << 22), "--max_per_tile", "4096"])
+    with open(os.path.join(eval_dir, "metrics.json")) as f:
+        tau_metrics = json.load(f)
+
+    # Seam metric: test views whose camera sits within 2 units of the
+    # chunk boundary (their frustum spans both chunks' geometry).
+    seam_idx = [i for i in range(0, N_CAMS, test_every)
+                if abs(eyes[i, 0] - CHUNK_SPLIT) < 2.0]
+    test_idx = list(range(0, N_CAMS, test_every))
+    print(f"  seam views: {seam_idx} of test {test_idx}", flush=True)
+    # Per-view PSNR at tau=0 from the saved renders vs GT images.
+    from h3dgs_tpu.utils.losses import psnr
+    import jax.numpy as jnp2
+    seam_psnr, other_psnr = [], []
+    for vi, i in enumerate(test_idx):
+        rp = os.path.join(eval_dir, "renders", "tau_0.0", f"{vi:05d}.png")
+        if not os.path.exists(rp):
+            continue
+        r = np.asarray(Image.open(rp), np.float32) / 255.0
+        g = np.asarray(Image.open(
+            os.path.join(img_dir, f"street_{i:04d}.png")),
+            np.float32) / 255.0
+        p = float(psnr(jnp2.asarray(r.transpose(2, 0, 1)),
+                       jnp2.asarray(g.transpose(2, 0, 1))))
+        (seam_psnr if i in seam_idx else other_psnr).append(p)
+
+    result = {
+        "n_gt_splats": N_GT, "n_cams": N_CAMS, "wh": [W, H],
+        "iters_per_phase": ITERS, "train_minutes": round(train_min, 1),
+        "tau_metrics": tau_metrics,
+        "seam_psnr_mean": (float(np.mean(seam_psnr))
+                           if seam_psnr else None),
+        "offseam_psnr_mean": (float(np.mean(other_psnr))
+                              if other_psnr else None),
+        "n_seam_views": len(seam_psnr),
+    }
+    print(json.dumps(result, indent=2), flush=True)
+
+    print("[5/5] artifacts -> docs/city", flush=True)
+    with open(os.path.join(out_doc, "metrics.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    # A GT/render pair for the README.
+    vi_mid = len(test_idx) // 2
+    for src, dst in ((os.path.join(eval_dir, "renders", "tau_0.0",
+                                   f"{vi_mid:05d}.png"), "render_tau0.png"),
+                     (os.path.join(img_dir,
+                                   f"street_{test_idx[vi_mid]:04d}.png"),
+                      "ground_truth.png")):
+        if os.path.exists(src):
+            shutil.copy(src, os.path.join(out_doc, dst))
+
+
+if __name__ == "__main__":
+    main()
