@@ -126,6 +126,13 @@ class PallasBlendConfig(NamedTuple):
     # _seg_trans_after_all). Lane slices land on Q boundaries, so keep
     # "loop" for quanta narrower than a lane tile (q < 128).
     tafter_mode: str = "loop"
+    # Entry-stream layout at the kernel boundary: False = [16, D]
+    # (attributes on sublanes; XLA transposes the packed rows), True =
+    # [D, 16] rows end-to-end (the pack gather's native output and the
+    # gradient scatter's native input) with an in-kernel [E,16] -> [16,E]
+    # transpose — trades two 2.3 ms XLA layout passes at D=2M for
+    # VMEM-local transposes inside the kernels.
+    rows_layout: bool = False
 
 
 def _pixel_coords(owner, tiles_x: int, tile: int, p: int, dtype):
@@ -345,7 +352,7 @@ def _chunk_owners(owner_ref, c, s: int):
 def _fwd_kernel(owner_ref, entries_ref, out_ref, trans, term,
                 *, tiles_x: int, tile: int, p: int, q: int, s: int,
                 emit_dead: bool = True, prefix_mode: str = "mxu",
-                tafter_mode: str = "loop"):
+                tafter_mode: str = "loop", rows_layout: bool = False):
     c = pl.program_id(0)
     owners, first = _chunk_owners(owner_ref, c, s)
 
@@ -359,7 +366,7 @@ def _fwd_kernel(owner_ref, entries_ref, out_ref, trans, term,
         out_ref[i, O_T + 1:, :] = jnp.zeros((N_OUT - O_T - 1, p),
                                             jnp.float32)
 
-    e = entries_ref[:]                                       # [16,E]
+    e = entries_ref[:].T if rows_layout else entries_ref[:]  # [16,E]
     seg = _segments(owners, e.shape[1], q, e.dtype)
 
     # Skip compute for unused chunks and for single-tile chunks whose
@@ -422,7 +429,8 @@ def _fwd_kernel(owner_ref, entries_ref, out_ref, trans, term,
 
 def _bwd_kernel(owner_ref, entries_ref, grads_ref, dentries_ref,
                 trans, term, pre, *, tiles_x: int, tile: int, p: int,
-                q: int, s: int, prefix_mode: str = "mxu"):
+                q: int, s: int, prefix_mode: str = "mxu",
+                rows_layout: bool = False):
     """Per-entry gradients.
 
     grads_ref: [S, N_OUT, P] per-quantum gathered cotangents — rows 0-3
@@ -442,7 +450,7 @@ def _bwd_kernel(owner_ref, entries_ref, grads_ref, dentries_ref,
 
     dentries_ref[:] = jnp.zeros_like(dentries_ref)
 
-    e = entries_ref[:]
+    e = entries_ref[:].T if rows_layout else entries_ref[:]
     seg = _segments(owners, e.shape[1], q, e.dtype)
     saturated = (jnp.logical_not(first) & seg.all_same
                  & (jnp.min(term[:, 0:1]) > 0.0))
@@ -489,9 +497,6 @@ def _bwd_kernel(owner_ref, entries_ref, grads_ref, dentries_ref,
                               gi[G_TFIN:G_TFIN + 1, :].T, t_fin)
             g_t = jnp.where(seg.masks[i], gi[O_T:O_T + 1, :].T, g_t)
 
-        dentries_ref[R_R:R_B + 1, :] = d_attr[0:3, :]
-        dentries_ref[R_ID:R_ID + 1, :] = d_attr[3:4, :]
-
         qv = contrib * ga
         pre_base = jnp.where(seg.in_carry, pre[0:1, :].T, 0.0)
         prefix = pre_base + _seg_prefix(qv, seg)             # [P,E]
@@ -520,12 +525,38 @@ def _bwd_kernel(owner_ref, entries_ref, grads_ref, dentries_ref,
         ca = e[R_CA:R_CA + 1, :]
         cb = e[R_CB:R_CB + 1, :]
         cc = e[R_CC:R_CC + 1, :]
-        dentries_ref[R_OP:R_OP + 1, :] = rowsum(d_opac)
-        dentries_ref[R_CA:R_CA + 1, :] = rowsum(d_power * (-0.5 * dx * dx))
-        dentries_ref[R_CB:R_CB + 1, :] = rowsum(d_power * (-dx * dy))
-        dentries_ref[R_CC:R_CC + 1, :] = rowsum(d_power * (-0.5 * dy * dy))
-        dentries_ref[R_MX:R_MX + 1, :] = rowsum(d_power * (ca * dx + cb * dy))
-        dentries_ref[R_MY:R_MY + 1, :] = rowsum(d_power * (cc * dy + cb * dx))
+        if rows_layout:
+            # One assembled [16,E] store, transposed to rows. Row order
+            # == R_* indices.
+            out16 = jnp.concatenate([
+                rowsum(d_power * (ca * dx + cb * dy)),        # R_MX
+                rowsum(d_power * (cc * dy + cb * dx)),        # R_MY
+                rowsum(d_power * (-0.5 * dx * dx)),           # R_CA
+                rowsum(d_power * (-dx * dy)),                 # R_CB
+                rowsum(d_power * (-0.5 * dy * dy)),           # R_CC
+                d_attr[0:3, :],                               # R_R..R_B
+                rowsum(d_opac),                               # R_OP
+                d_attr[3:4, :],                               # R_ID
+                jnp.zeros((N_ROWS - R_ID - 1, e.shape[1]),
+                          jnp.float32),
+            ], axis=0)
+            dentries_ref[:] = out16.T
+        else:
+            # Incremental row writes keep the Mosaic live set small —
+            # assembling all rows before one store exceeded the 16M
+            # scoped-VMEM limit at bwd_chunk_e=512 (observed on chip).
+            dentries_ref[R_R:R_B + 1, :] = d_attr[0:3, :]
+            dentries_ref[R_ID:R_ID + 1, :] = d_attr[3:4, :]
+            dentries_ref[R_OP:R_OP + 1, :] = rowsum(d_opac)
+            dentries_ref[R_CA:R_CA + 1, :] = rowsum(
+                d_power * (-0.5 * dx * dx))
+            dentries_ref[R_CB:R_CB + 1, :] = rowsum(d_power * (-dx * dy))
+            dentries_ref[R_CC:R_CC + 1, :] = rowsum(
+                d_power * (-0.5 * dy * dy))
+            dentries_ref[R_MX:R_MX + 1, :] = rowsum(
+                d_power * (ca * dx + cb * dy))
+            dentries_ref[R_MY:R_MY + 1, :] = rowsum(
+                d_power * (cc * dy + cb * dx))
 
         trans[:, 0:1] = _seg_trans_after(seg, s - 1, q, live, t_incl,
                                          t_carry)
@@ -543,20 +574,27 @@ def pallas_blend_fwd(packed, owner, *, tiles_x: int, tile: int,
     e = cfg.chunk_e
     q = cfg.quantum
     s = e // q
-    n_chunks = packed.shape[1] // e
-    n_quanta = packed.shape[1] // q
+    d = packed.shape[0] if cfg.rows_layout else packed.shape[1]
+    n_chunks = d // e
+    n_quanta = d // q
     kernel = functools.partial(_fwd_kernel, tiles_x=tiles_x, tile=tile,
                                p=p, q=q, s=s,
                                emit_dead=cfg.bwd_entries > 0,
                                prefix_mode=cfg.prefix_mode,
-                               tafter_mode=cfg.tafter_mode)
+                               tafter_mode=cfg.tafter_mode,
+                               rows_layout=cfg.rows_layout)
+    if cfg.rows_layout:
+        entry_spec = pl.BlockSpec((e, N_ROWS), lambda c, o: (c, 0),
+                                  memory_space=pltpu.VMEM)
+    else:
+        entry_spec = pl.BlockSpec((N_ROWS, e), lambda c, o: (0, c),
+                                  memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_chunks,),
-            in_specs=[pl.BlockSpec((N_ROWS, e), lambda c, o: (0, c),
-                                   memory_space=pltpu.VMEM)],
+            in_specs=[entry_spec],
             out_specs=pl.BlockSpec((s, N_OUT, p), lambda c, o: (c, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
@@ -576,14 +614,20 @@ def pallas_blend_bwd(packed, owner, grads_quanta, *,
     e = cfg.bwd_chunk_e or cfg.chunk_e
     q = cfg.quantum
     s = e // q
-    n_chunks = packed.shape[1] // e
+    d = packed.shape[0] if cfg.rows_layout else packed.shape[1]
+    n_chunks = d // e
     kernel = functools.partial(_bwd_kernel, tiles_x=tiles_x, tile=tile,
                                p=p, q=q, s=s,
-                               prefix_mode=cfg.prefix_mode)
+                               prefix_mode=cfg.prefix_mode,
+                               rows_layout=cfg.rows_layout)
     quanta_spec = pl.BlockSpec((s, N_OUT, p), lambda c, o: (c, 0, 0),
                                memory_space=pltpu.VMEM)
-    entry_spec = pl.BlockSpec((N_ROWS, e), lambda c, o: (0, c),
-                              memory_space=pltpu.VMEM)
+    if cfg.rows_layout:
+        entry_spec = pl.BlockSpec((e, N_ROWS), lambda c, o: (c, 0),
+                                  memory_space=pltpu.VMEM)
+    else:
+        entry_spec = pl.BlockSpec((N_ROWS, e), lambda c, o: (0, c),
+                                  memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -651,7 +695,7 @@ def pack_entries(means2d, conic, rgb, opacity, inv_depth,
 
 
 def scatter_entry_grads(dentries, gauss_idx, n: int, k_slots: int = 0,
-                        rank=None):
+                        rank=None, rows_layout: bool = False):
     """Scatter-add per-entry gradients back to per-Gaussian arrays.
 
     One [D,16]-row scatter-add (contiguous 64-byte updates) instead of ten
@@ -666,7 +710,7 @@ def scatter_entry_grads(dentries, gauss_idx, n: int, k_slots: int = 0,
     (orig g lives at rank[g]).
     """
     safe = jnp.where(gauss_idx >= 0, gauss_idx, n)
-    rows = dentries.T                                      # [D, 16]
+    rows = dentries if rows_layout else dentries.T         # [D, 16]
     if k_slots:
         k = k_slots
         pos = jnp.arange(rows.shape[0], dtype=jnp.int32)
@@ -725,7 +769,8 @@ def _blend_fwd(means2d, conic, rgb, opacity, inv_depth, owner, gauss_idx,
                last_chunk, perm, rank, n_tiles, tiles_x, tile, cfg):
     rows = pack_rows(means2d, conic, rgb, opacity, inv_depth, gauss_idx,
                      perm)
-    chunk_out = pallas_blend_fwd(rows.T, owner, tiles_x=tiles_x, tile=tile,
+    chunk_out = pallas_blend_fwd(rows if cfg.rows_layout else rows.T,
+                                 owner, tiles_x=tiles_x, tile=tile,
                                  cfg=cfg)
     # Defensive (axon backend): keep XLA from fusing the segment-sum into
     # the pallas output — one observed miscompile produced black tile runs
@@ -740,7 +785,9 @@ def _blend_fwd(means2d, conic, rgb, opacity, inv_depth, owner, gauss_idx,
         stream = rows
     else:
         q_dead = None
-        stream = rows.T      # kernel layout, reused directly by the bwd
+        # Kernel layout, reused directly by the bwd (rows mode: no
+        # transpose exists anywhere on the path).
+        stream = rows if cfg.rows_layout else rows.T
     return out, (stream, owner, gauss_idx, out, q_dead, means2d.shape[0],
                  rank)
 
@@ -758,7 +805,8 @@ def _blend_bwd(n_tiles, tiles_x, tile, cfg, res, g):
         dentries = pallas_blend_bwd(packed, own, grads_chunks,
                                     tiles_x=tiles_x, tile=tile, cfg=cfg)
         return scatter_entry_grads(dentries, gidx, n,
-                                   k_slots=cfg.scatter_k, rank=rank)
+                                   k_slots=cfg.scatter_k, rank=rank,
+                                   rows_layout=cfg.rows_layout)
 
     if not cfg.bwd_entries:
         grads = run(stream, owner, gauss_idx)
@@ -798,11 +846,13 @@ def _blend_bwd(n_tiles, tiles_x, tile, cfg, res, g):
                 jnp.arange(d_t) < n_keep * qw,
                 jax.lax.bitcast_convert_type(rows_t[:, R_GI], jnp.int32),
                 -1)
-            return run(rows_t.T, owner_t, gauss_t)
+            return run(rows_t if cfg.rows_layout else rows_t.T,
+                       owner_t, gauss_t)
 
         def full_path(operands):
             rows, owner, gauss_idx = operands
-            return run(rows.T, owner, gauss_idx)
+            return run(rows if cfg.rows_layout else rows.T,
+                       owner, gauss_idx)
 
         grads = jax.lax.cond(n_keep <= n_q_t, trunc_path, full_path,
                              (rows, owner, gauss_idx))

@@ -84,6 +84,9 @@ class RasterizeConfig(NamedTuple):
     # i32 sort (falls back to "2key" when the bits don't fit);
     # "2key" is the (tile, depth-bits) + payload sort.
     sort_mode: str = "rank"
+    # Kernel-boundary entry layout: True = [D,16] rows end-to-end with
+    # in-kernel transposes (saves two XLA [D,16]<->[16,D] passes).
+    rows_layout: bool = False
     # Generation-side entry budget (0 = max_entries). The pre-relayout
     # stream (owner fill, per-entry table, sort) only has to hold the RAW
     # duplicate count while max_entries holds the quantum-PADDED aligned
@@ -306,7 +309,8 @@ def blend_tiles_pallas(proj: ProjectedGaussians, height: int, width: int,
         bwd_chunk_e=config.bwd_chunk_e,
         interpret=not _on_tpu(), bwd_entries=bwd_entries,
         prefix_mode=config.prefix_mode, scatter_k=config.scatter_k,
-        tafter_mode=config.tafter_mode)
+        tafter_mode=config.tafter_mode,
+        rows_layout=config.rows_layout)
     inv_depth = 1.0 / jnp.maximum(proj.depth, 1e-6)
     n_q_per_tile = -(-bins.tile_count // quantum)
     # Tiles whose aligned run overflows the buffer lost their quanta —

@@ -22,11 +22,15 @@ run() {
     tail -25 "$log" | sed 's/^/   | /'
 }
 
-# Judge-priority order: on-chip scale validation (VERDICT item 4),
-# render fps (item 5), then the kernel-lever A/B and profiles (item 1).
-run validate_scale 4500 $PY scripts/validate_tpu_scale.py $VAL_ITERS
+# Round-3 judge-priority order: documented-regime scale validation
+# (VERDICT r2 item 4), render fps (item 3), the r3 A/B (items 1-2),
+# stage + glue profiles. Each item is timeout-bound and failures
+# continue (one tunnel 500 must not kill the agenda).
+export PYTHONPATH="$PWD/scripts:$PYTHONPATH"
+run validate_scale 6000 $PY scripts/validate_tpu_scale.py $VAL_ITERS
 run bench_render 1800 $PY scripts/bench_render.py
-run ab_r02 5400 $PY scripts/ab_r02.py $AB_ITERS
+run ab_r03b 3600 $PY scripts/ab_r03b.py $AB_ITERS
 run profile_stages 2400 $PY scripts/profile_stages.py
-run profile_micro 2400 $PY scripts/profile_micro.py
+run profile_binning 2400 $PY scripts/profile_binning.py
+run profile_scatter 1800 $PY scripts/profile_scatter.py
 echo "== done ($STAMP) =="

@@ -138,9 +138,11 @@ def main():
     means, scales, quats, opac, shs, rgb = make_city(rng)
     cams, eyes = street_cameras()
 
-    budget = entry_budget_for_scene(
-        jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
-        jnp.asarray(opac), jnp.asarray(shs), cams[N_CAMS // 2], 0)
+    budget = 0
+    gt_j = tuple(jnp.asarray(a) for a in (means, scales, quats, opac, shs))
+    for ci in (0, N_CAMS // 4, N_CAMS // 2, 3 * N_CAMS // 4, N_CAMS - 1):
+        budget = max(budget, entry_budget_for_scene(*gt_j, cams[ci], 0))
+    print(f"  GT budget {budget}", flush=True)
     gt_cfg = RasterizeConfig(max_entries=budget, max_per_tile=4096,
                              bwd_entries=0)
     gt_args = tuple(jnp.asarray(a)
@@ -167,7 +169,15 @@ def main():
     t0 = time.time()
     for i, cam in enumerate(cams):
         img, invd, ndup = render_gt(cam)
-        assert int(ndup) <= budget, f"GT budget overflow view {i}"
+        while int(ndup) > budget:   # grow + re-render (GT must be exact)
+            budget = -(-int(ndup) * 5 // 4 // 1024) * 1024
+            print(f"  GT budget -> {budget} (view {i})", flush=True)
+            gt_cfg = gt_cfg._replace(max_entries=budget)
+            render_gt = jax.jit(lambda cam: (  # noqa: E731
+                lambda out: (jnp.clip(out["render"], 0, 1),
+                             out["invdepth"][0], out["n_duplicates"]))(
+                rasterize(*gt_args, cam, 0, bg, config=gt_cfg)))
+            img, invd, ndup = render_gt(cam)
         img = np.asarray(img)
         is_test = (i % test_every == 0)
         if not is_test:

@@ -352,3 +352,28 @@ def test_batched_tafter_bit_exact():
                                       np.asarray(out_l[k]), err_msg=k)
     for a, b in zip(jax.tree.leaves(g_b), jax.tree.leaves(g_l)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("bwd_entries", [0, 512])
+def test_rows_layout_matches_cols(bwd_entries):
+    """rows_layout=True ([D,16] streams + in-kernel transposes) must be
+    BIT-identical to the [16,D] layout on values and gradients — it is a
+    pure data-layout change."""
+    params, cam, bg = _scene(n=80, seed=21)
+    target = jnp.full((3, cam.height, cam.width), 0.4)
+    base = PL_CFG_SEG._replace(max_entries=1 << 12,
+                               bwd_entries=bwd_entries)
+
+    def run(cfg):
+        def loss(p):
+            out = R.rasterize(*p, cam, 1, bg, config=cfg)
+            return (photometric_loss(out["render"], target)
+                    + 0.1 * jnp.mean(out["final_transmittance"]))
+        out = R.rasterize(*params, cam, 1, bg, config=cfg)
+        return out["render"], jax.grad(loss)(params)
+
+    img_c, g_c = run(base)
+    img_r, g_r = run(base._replace(rows_layout=True))
+    np.testing.assert_array_equal(np.asarray(img_c), np.asarray(img_r))
+    for a, b in zip(jax.tree.leaves(g_c), jax.tree.leaves(g_r)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
