@@ -1,11 +1,12 @@
 #!/bin/bash
 # One-shot capture of every pending on-chip measurement. The TPU tunnel
 # has multi-hour outages (see axon notes in README); when it comes back —
-# possibly briefly — this runs the full round-2 measurement agenda
+# possibly briefly — this runs the full round-3 measurement agenda
 # unattended and logs everything under chip_logs/.
 #
-# Order matters: ab_r02 is the decision-maker (same-run A/B of the kernel
-# levers + on-chip gradient cross-check); the rest are independent.
+# Order matters: bench.py is the judged artifact; ab_r03b is the
+# decision-maker (grad-gated A/B of the open levers); the rest are
+# independent.
 #
 # Usage: bash scripts/chip_session.sh [quick]
 #   quick = fewer iters everywhere (for a short uptime window)
@@ -15,7 +16,7 @@ cd "$(dirname "$0")/.."
 PY=/opt/venv/bin/python
 # The venv does not have the package installed; scripts/*.py import
 # h3dgs_tpu from the repo root.
-export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
+export PYTHONPATH="$PWD:$PWD/scripts${PYTHONPATH:+:$PYTHONPATH}"
 LOGS=chip_logs
 mkdir -p "$LOGS"
 STAMP=$(date -u +%Y%m%dT%H%M%SZ)
@@ -52,18 +53,18 @@ run() { # run <name> <timeout_s> <cmd...>
 #    the measurement that must not be lost).
 run bench 3000 env BENCH_ITERS=$BENCH_ITERS $PY bench.py
 
-# 2. Same-run A/B of the round-2 kernel levers (grad cross-check gate +
-#    bwd truncation x prefix mode x E/Q/bwdE sweep + glue alternatives).
+# 2. Grad-gated A/B of the open round-3 levers (rows_layout etc.).
 #    Promote the winner to RasterizeConfig defaults by hand after
 #    reading the log (SOL.md runbook).
-run ab_r02 5400 $PY scripts/ab_r02.py $AB_ITERS
+run ab_r03b 3600 $PY scripts/ab_r03b.py $AB_ITERS
 
 # 3. Stage-level breakdown at the current defaults (updates SOL.md table).
 run profile_stages 2400 $PY scripts/profile_stages.py
 
-# 3b. Binning/backward micro-profile incl. the scatter-strategy ladder
-#     and the sort/cummax/cumsum design probes (round-3 candidates).
-run profile_micro 2400 $PY scripts/profile_micro.py
+# 3b. Binning sub-op profile (per-item crash isolation) + the scatter
+#     formulation ladder.
+run profile_binning 2400 $PY scripts/profile_binning.py
+run profile_scatter 1800 $PY scripts/profile_scatter.py
 
 # 4. Hierarchy-cut render fps (interactive-rate agenda, VERDICT item 5).
 run bench_render 2400 $PY scripts/bench_render.py
@@ -75,7 +76,11 @@ run validate_scale 5400 $PY scripts/validate_tpu_scale.py $VAL_ITERS
 # 6. Post-optimization on-chip validation (hierarchy cut training).
 run validate_post 2400 $PY scripts/validate_tpu_post.py
 
+# 7. Two-chunk city-block E2E through the full CLI pipeline (VERDICT r2
+#    item 5); writes docs/city/metrics.json.
+run validate_city 7200 env PYTHONPATH="$PWD:$PWD/tests:$PYTHONPATH" $PY scripts/validate_city.py
+
 echo "== done. Logs in $LOGS/*_${STAMP}.log =="
-echo "Next: read ab_r02 log; if a lever combo wins AND passes the grad"
+echo "Next: read ab_r03b log; if a lever combo wins AND passes the grad"
 echo "cross-check, promote it to RasterizeConfig defaults, re-run bench.py,"
 echo "update SOL.md's ledger + README perf figures, commit."
