@@ -216,3 +216,30 @@ def test_cumsum_fill_degenerate_cases():
     out = np.asarray(binning._delta_cumsum_rows(gtab, counts, starts, d))
     np.testing.assert_array_equal(out, np.broadcast_to(
         np.asarray(gtab)[1], (d, 8)))
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_rank_sort_matches_2key(seed):
+    """The rank-key keyless sort must produce the same per-tile streams
+    as the (tile, depth-bits) 2-key sort — identical membership AND
+    order (ranks are unique, and random f32 depths have no exact ties
+    here), with gauss_idx mapped back through perm."""
+    means, scales, quats, opac, shs = random_scene(150, seed, sh_degree=1)
+    cam = make_test_camera(width=64, height=48)
+    proj = project_gaussians(jnp.asarray(means), jnp.asarray(scales),
+                             jnp.asarray(quats), jnp.asarray(opac),
+                             jnp.asarray(shs), cam, 1, 1.0)
+    d = 1 << 12
+    a = binning.bin_gaussians_aligned(proj, cam.height, cam.width, d,
+                                      64, 128, sort_mode="rank")
+    b = binning.bin_gaussians_aligned(proj, cam.height, cam.width, d,
+                                      64, 128, sort_mode="2key")
+    assert a.perm is not None and b.perm is None
+    ga = np.asarray(a.gauss_idx)
+    ga = np.where(ga >= 0, np.asarray(a.perm)[np.maximum(ga, 0)], -1)
+    np.testing.assert_array_equal(ga, np.asarray(b.gauss_idx))
+    for name in ("owner", "tile_start", "tile_count", "total_entries",
+                 "aligned_entries", "n_truncated"):
+        np.testing.assert_array_equal(np.asarray(getattr(a, name)),
+                                      np.asarray(getattr(b, name)),
+                                      err_msg=name)
