@@ -80,11 +80,12 @@ class RuntimeConfig:
     max_per_tile: int = 1024
     blend_chunk: int = 32
     # Pallas blend entries per grid step. With the blockwise segmented
-    # prefix (linear in chunk_e) 512 beats 256 by ~15% on v5e, and 1024
-    # paired with a 512-wide backward won the 2026-08-19 self-tune (a
-    # symmetric 1024 backward exceeds the ~16MB VMEM scope). Padding is
-    # governed by `quantum`, not chunk_e.
-    chunk_e: int = 1024
+    # prefix (linear in chunk_e) 512 beats 256 by ~15% on v5e; 1024 won
+    # the 2026-08-19 bench self-tune by ~0.5 ms but its backward runs
+    # within 2M of the 16M scoped-VMEM limit and can OOM under fusion
+    # (see ops/rasterize.RasterizeConfig). Padding is governed by
+    # `quantum`, not chunk_e.
+    chunk_e: int = 512
     # Per-tile alignment quantum of the entry stream (<= chunk_e); the
     # kernel handles several quanta per grid step (segmented prefix).
     quantum: int = 128

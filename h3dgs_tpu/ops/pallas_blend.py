@@ -497,6 +497,14 @@ def _bwd_kernel(owner_ref, entries_ref, grads_ref, dentries_ref,
                               gi[G_TFIN:G_TFIN + 1, :].T, t_fin)
             g_t = jnp.where(seg.masks[i], gi[O_T:O_T + 1, :].T, g_t)
 
+        if not rows_layout:
+            # Write the attribute-gradient rows immediately (before the
+            # prefix machinery) — delaying them extends dx/dy/d_attr live
+            # ranges past Mosaic's 16M scoped-VMEM stack at bwd width 512
+            # (observed 17.6M on chip).
+            dentries_ref[R_R:R_B + 1, :] = d_attr[0:3, :]
+            dentries_ref[R_ID:R_ID + 1, :] = d_attr[3:4, :]
+
         qv = contrib * ga
         pre_base = jnp.where(seg.in_carry, pre[0:1, :].T, 0.0)
         prefix = pre_base + _seg_prefix(qv, seg)             # [P,E]
@@ -542,11 +550,8 @@ def _bwd_kernel(owner_ref, entries_ref, grads_ref, dentries_ref,
             ], axis=0)
             dentries_ref[:] = out16.T
         else:
-            # Incremental row writes keep the Mosaic live set small —
-            # assembling all rows before one store exceeded the 16M
-            # scoped-VMEM limit at bwd_chunk_e=512 (observed on chip).
-            dentries_ref[R_R:R_B + 1, :] = d_attr[0:3, :]
-            dentries_ref[R_ID:R_ID + 1, :] = d_attr[3:4, :]
+            # Incremental row writes keep the Mosaic live set small
+            # (d_attr rows were already stored above).
             dentries_ref[R_OP:R_OP + 1, :] = rowsum(d_opac)
             dentries_ref[R_CA:R_CA + 1, :] = rowsum(
                 d_power * (-0.5 * dx * dx))

@@ -47,10 +47,13 @@ class RasterizeConfig(NamedTuple):
     # path elsewhere; "pallas" / "xla" force one. The Pallas path ignores
     # ``chunk``/``remat`` and uses chunk_e-entry grid steps.
     backend: str = "auto"
-    # Pallas entries per grid step (fwd). 1024 paired with a 512-wide
-    # backward won the 2026-08-19 bench self-tune; both must divide
-    # max_entries (the trainer budget fn emits 1024-multiples).
-    chunk_e: int = 1024
+    # Pallas entries per grid step (fwd). 512 is the robust default:
+    # 1024 (paired with a 512 backward) won the 2026-08-19 bench
+    # self-tune by ~0.5 ms but its backward sits within 2M of Mosaic's
+    # 16M scoped-VMEM limit and OOMs under some fusion contexts (seen
+    # in the trainer at the same shapes the bench compiled fine) — the
+    # bench still races E=1024 and uses it when it compiles.
+    chunk_e: int = 512
     quantum: int = 128              # per-tile alignment unit (<= chunk_e)
     # Backward termination-truncation budget (Pallas path): the backward
     # compacts away quanta whose tile fully terminated (provably zero
