@@ -1,5 +1,7 @@
 """Same-run A/B of the round-2 kernel levers on the real chip.
 
+HISTORICAL (round-2 ledger): superseded by ab_r03.py / ab_r03b.py.
+
 Times the bench.py workload (1080p fwd+bwd, 200k Gaussians) across:
   - bwd_entries: 0 (off) vs auto (D/2) — backward termination truncation
   - prefix_mode: mxu vs roll — transmittance recurrence factorization

@@ -57,11 +57,11 @@ def main(iters=10):
             print(f"{label}: {type(ex).__name__}: {str(ex)[:140]}",
                   flush=True)
 
-    row("defaults (cols layout)", base)
+    row("defaults (E512 cols)", base)
     row("rows_layout", base._replace(rows_layout=True))
-    row("rows_layout E512/bwd512",
-        base._replace(rows_layout=True, chunk_e=512))
-    row("E512 cols", base._replace(chunk_e=512))
+    row("E1024/bwd512 cols", base._replace(chunk_e=1024))
+    row("E1024/bwd512 rows",
+        base._replace(chunk_e=1024, rows_layout=True))
 
 
 if __name__ == "__main__":
