@@ -184,13 +184,30 @@ def main():
         print(f"  {title} winner: {best}", file=sys.stderr, flush=True)
         return configs[best]
 
-    # Stage 1: backward truncation x prefix mode.
-    best_cfg = run_stage("stage-1", {
+    # Stage 1: backward truncation x prefix mode. The truncation budget is
+    # sized from a measured survivor-quanta probe: the blind auto budget
+    # (max_entries // 2) can sit just UNDER the survivor count, making
+    # every step pay the compaction and then fall back to the full
+    # stream — the 2026-08-19 A/B loss of bwd=auto was exactly that.
+    stage1 = {
         "bwd=0,mxu": base._replace(bwd_entries=0, prefix_mode="mxu"),
         "bwd=auto,mxu": base._replace(bwd_entries=None, prefix_mode="mxu"),
         "bwd=0,roll": base._replace(bwd_entries=0, prefix_mode="roll"),
-    }, ref_name="bwd=0,mxu",
-        fallback_cfg=base._replace(bwd_entries=0, prefix_mode="mxu"))
+    }
+    try:
+        from h3dgs_tpu.train.loop import bwd_entries_for_scene
+        bwd_probe = bwd_entries_for_scene(*params, cam, 3, config=base)
+        print(f"  bwd survivor probe -> bwd_entries={bwd_probe}",
+              file=sys.stderr, flush=True)
+        if bwd_probe:
+            stage1["bwd=probe,mxu"] = base._replace(
+                bwd_entries=bwd_probe, prefix_mode="mxu")
+    except Exception as ex:
+        print(f"  bwd survivor probe failed ({type(ex).__name__})",
+              file=sys.stderr, flush=True)
+    best_cfg = run_stage("stage-1", stage1, ref_name="bwd=0,mxu",
+                         fallback_cfg=base._replace(bwd_entries=0,
+                                                    prefix_mode="mxu"))
 
     # Stage 2: grid-step width at the winning flags. A wide forward pairs
     # with a narrower backward (bwd_chunk_e): the backward kernel's VMEM

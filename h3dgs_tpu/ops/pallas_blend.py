@@ -651,6 +651,22 @@ def pallas_blend_bwd(packed, owner, grads_quanta, *,
     )(owner, packed, grads_quanta)
 
 
+def bwd_keep_mask(owner, q_dead):
+    """Backward-surviving quanta: (keep [Qn] bool, n_keep [] int32).
+
+    A quantum is droppable iff the previous quantum of the SAME tile ended
+    with every pixel terminated (all its lanes then have live=False =>
+    zero gradients and no effect on carried state), or it is stream
+    padding (owner -1). Termination is monotone per tile, so survivors
+    stay consecutive and quantum-aligned."""
+    same_prev = jnp.concatenate([jnp.zeros((1,), bool),
+                                 owner[1:] == owner[:-1]])
+    dead_prev = jnp.concatenate(
+        [jnp.zeros((1,), q_dead.dtype), q_dead[:-1]]) > 0.5
+    keep = (owner >= 0) & ~(same_prev & dead_prev)
+    return keep, jnp.sum(keep.astype(jnp.int32))
+
+
 def _attr_table(means2d, conic, rgb, opacity, inv_depth) -> jax.Array:
     """Per-Gaussian [N, 16] attribute matrix (pack_rows' gather source)."""
     n = means2d.shape[0]
@@ -743,7 +759,15 @@ def blend_entries(means2d, conic, rgb, opacity, inv_depth, owner, gauss_idx,
                   last_chunk, perm, rank, n_tiles: int, tiles_x: int,
                   tile: int, cfg: PallasBlendConfig):
     """Differentiable tile blend: per-Gaussian screen-space attributes ->
-    per-tile [n_tiles, 8, P] (rgb, invdepth, transmittance; pre-background).
+    (per-tile [n_tiles, 8, P] (rgb, invdepth, transmittance;
+    pre-background), n_bwd_quanta [] int32).
+
+    ``n_bwd_quanta`` is the number of quanta the backward's termination
+    truncation must keep (-1 when cfg.bwd_entries == 0 and the forward
+    skips the deadness bookkeeping). The trainer/bench size
+    ``bwd_entries`` from a probe of this count — a blind budget that
+    undershoots it makes the backward fall back to the full stream every
+    step while still paying the compaction.
 
     ``last_chunk``: [n_tiles] int32 index of each tile's final chunk
     (-1 = tile has no entries). ``perm``/``rank``: rank-key binning
@@ -788,18 +812,20 @@ def _blend_fwd(means2d, conic, rgb, opacity, inv_depth, owner, gauss_idx,
         # so the compaction gather moves contiguous 64-byte rows.
         q_dead = jnp.min(chunk_out[:, O_DEAD, :], axis=1)
         stream = rows
+        _, n_bwd = bwd_keep_mask(owner, q_dead)
     else:
         q_dead = None
         # Kernel layout, reused directly by the bwd (rows mode: no
         # transpose exists anywhere on the path).
         stream = rows if cfg.rows_layout else rows.T
-    return out, (stream, owner, gauss_idx, out, q_dead, means2d.shape[0],
-                 rank)
+        n_bwd = jnp.full((), -1, jnp.int32)
+    return (out, n_bwd), (stream, owner, gauss_idx, out, q_dead,
+                          means2d.shape[0], rank)
 
 
 def _blend_bwd(n_tiles, tiles_x, tile, cfg, res, g):
     stream, owner, gauss_idx, out, q_dead, n, rank = res
-    g = jnp.asarray(g, jnp.float32)
+    g = jnp.asarray(g[0], jnp.float32)  # g[1]: int32 count, float0 cotangent
     # Fused suffix constants ride the spare cotangent rows, so the kernel
     # needs a single per-chunk gather.
     g_tot = jnp.sum(g[:, O_R:O_D + 1, :] * out[:, O_R:O_D + 1, :], axis=1)
@@ -821,18 +847,8 @@ def _blend_bwd(n_tiles, tiles_x, tile, cfg, res, g):
         qn = owner.shape[0]
         d_t = cfg.bwd_entries
         n_q_t = d_t // qw
-        # A quantum is droppable iff the previous quantum of the SAME tile
-        # ended with every pixel terminated (then all its lanes have
-        # live=False => zero dentries and no effect on carried state), or
-        # it is stream padding (owner -1). Termination is monotone per
-        # tile, so survivors stay consecutive and quantum-aligned.
-        same_prev = jnp.concatenate([jnp.zeros((1,), bool),
-                                     owner[1:] == owner[:-1]])
-        dead_prev = jnp.concatenate(
-            [jnp.zeros((1,), q_dead.dtype), q_dead[:-1]]) > 0.5
-        keep = (owner >= 0) & ~(same_prev & dead_prev)
+        keep, n_keep = bwd_keep_mask(owner, q_dead)
         pos = jnp.cumsum(keep.astype(jnp.int32)) - 1         # dst quantum
-        n_keep = pos[-1] + 1
 
         def trunc_path(operands):
             rows, owner, gauss_idx = operands

@@ -324,10 +324,11 @@ def blend_tiles_pallas(proj: ProjectedGaussians, height: int, width: int,
     last_chunk = jnp.where(
         (bins.tile_count > 0) & fits,
         bins.tile_start // quantum + n_q_per_tile - 1, -1)
-    out = blend_entries(proj.means2d, proj.conic, proj.rgb, proj.opacity,
-                        inv_depth, bins.owner, bins.gauss_idx,
-                        last_chunk.astype(jnp.int32), bins.perm, bins.rank,
-                        n_tiles, tiles_x, tile, pcfg)     # [T, 8, P]
+    out, n_bwd_quanta = blend_entries(
+        proj.means2d, proj.conic, proj.rgb, proj.opacity,
+        inv_depth, bins.owner, bins.gauss_idx,
+        last_chunk.astype(jnp.int32), bins.perm, bins.rank,
+        n_tiles, tiles_x, tile, pcfg)                     # [T, 8, P]
 
     color = out[:, 0:3, :]
     invd = out[:, 3, :]
@@ -351,7 +352,7 @@ def blend_tiles_pallas(proj: ProjectedGaussians, height: int, width: int,
     # are unsplit the aligned stream must also hold the raw count).
     n_need = jnp.maximum(bins.total_entries, bins.aligned_entries)
     return (image, invdepth, final_t, n_need, bins.n_truncated,
-            bins.total_entries)
+            bins.total_entries, n_bwd_quanta)
 
 
 def blend_auto(proj: ProjectedGaussians, height: int, width: int, bg_color,
@@ -360,8 +361,9 @@ def blend_auto(proj: ProjectedGaussians, height: int, width: int, bg_color,
 
     Returns (image [3,H,W], invdepth [1,H,W], final_T [H,W], n_need [],
     n_truncated [] — entries cut by max_per_tile; the XLA path never
-    truncates per-tile, so it reports 0 — and n_raw [], the raw duplicate
-    count governing the generation-side budget).
+    truncates per-tile, so it reports 0 — n_raw [], the raw duplicate
+    count governing the generation-side budget, and n_bwd_quanta [], the
+    backward-surviving quantum count (-1 when not tracked)).
     """
     if _use_pallas(config):
         return blend_tiles_pallas(proj, height, width,
@@ -371,7 +373,8 @@ def blend_auto(proj: ProjectedGaussians, height: int, width: int, bg_color,
     image, invdepth, final_t = blend_tiles(
         proj, binned, height, width, jnp.asarray(bg_color), config)
     return (image, invdepth, final_t, binned.total_entries,
-            jnp.zeros((), jnp.int32), binned.total_entries)
+            jnp.zeros((), jnp.int32), binned.total_entries,
+            jnp.full((), -1, jnp.int32))
 
 
 def rasterize(
@@ -396,7 +399,7 @@ def rasterize(
                              colors_precomp=colors_precomp)
     if means2d_offset is not None:
         proj = proj._replace(means2d=proj.means2d + means2d_offset)
-    image, invdepth, final_t, n_dup, n_trunc, n_raw = blend_auto(
+    image, invdepth, final_t, n_dup, n_trunc, n_raw, n_bwd = blend_auto(
         proj, camera.height, camera.width, bg_color, config)
     return {
         "render": image,
@@ -407,4 +410,5 @@ def rasterize(
         "n_duplicates": n_dup,
         "n_truncated": n_trunc,
         "n_raw": n_raw,
+        "n_bwd_quanta": n_bwd,
     }

@@ -51,7 +51,7 @@ def render_banded(means3d, scales, quats, opacities, shs, camera: Camera,
         proj_b = proj._replace(
             means2d=proj.means2d - jnp.stack(
                 [jnp.zeros_like(y0), y0])[None, :])
-        img, invd, ft, need, _trunc, _raw = blend_auto(
+        img, invd, ft, need, _trunc, _raw, _nbwd = blend_auto(
             proj_b, hb, camera.width, bg, config)
         need = jax.lax.pmax(need, axis)
         return (img, invd, ft, proj.radius,

@@ -132,6 +132,40 @@ def entry_budgets_for_scene(*args, **kwargs) -> tuple:
     return gen, budget
 
 
+def bwd_entries_for_scene(means, scales, quats, opac, shs, camera,
+                          sh_degree: int, *, config,
+                          headroom: float = 1.3) -> int:
+    """Probe-sized backward truncation budget (RasterizeConfig.bwd_entries).
+
+    Runs ONE forward at ``config`` (with deadness bookkeeping forced on)
+    and reads ``n_bwd_quanta`` — the quanta the backward's termination
+    truncation must keep. A blind budget (e.g. max_entries // 2) that
+    undershoots the survivor count makes every step pay the compaction
+    AND fall back to the full stream; sizing from the measured count with
+    headroom keeps the truncation engaged. Returns 0 (= disabled) when
+    survivors don't leave enough room to win, i.e. the sized budget would
+    be >= ~90% of max_entries. Requires the Pallas blend path."""
+    from ..ops.rasterize import rasterize
+
+    probe_cfg = config._replace(bwd_entries=config.max_entries)
+
+    def probe(ms):
+        out = rasterize(ms, scales, quats, opac, shs, camera, sh_degree,
+                        jnp.zeros((3,), jnp.float32), config=probe_cfg)
+        return out["n_bwd_quanta"]
+
+    n_quanta = int(jax.jit(probe)(means))
+    if n_quanta < 0:
+        return 0
+    quantum = min(config.quantum, config.chunk_e)
+    slots = int(headroom * n_quanta * quantum)
+    step = max(config.chunk_e, config.bwd_chunk_e or config.chunk_e, 2048)
+    slots = -(-slots // step) * step
+    if slots >= 0.9 * config.max_entries:
+        return 0
+    return max(slots, step)
+
+
 def _capacity_bucket(cap: int, n_drop: int, max_cap: int) -> int:
     """Next capacity bucket after a densify drop: at least 1.5x (so growth
     events stay rare; each one recompiles the step), covering the dropped

@@ -108,10 +108,10 @@ def main():
     print(f"blend fwd (pallas)    : {t * 1e3:8.2f} ms")
 
     def blend_loss(m2d):
-        out = blend_entries(m2d, proj.conic, proj.rgb, proj.opacity,
-                            inv_depth, bins.owner, bins.gauss_idx,
-                            last_chunk, bins.perm, bins.rank,
-                            n_tiles, tiles_x, binning.TILE, pcfg)
+        out, _ = blend_entries(m2d, proj.conic, proj.rgb, proj.opacity,
+                               inv_depth, bins.owner, bins.gauss_idx,
+                               last_chunk, bins.perm, bins.rank,
+                               n_tiles, tiles_x, binning.TILE, pcfg)
         return jnp.sum(out[:, 0:3, :] ** 2)
 
     t = bench_fn(lambda m2d: jax.grad(blend_loss)(m2d), (proj.means2d,))

@@ -196,6 +196,61 @@ def test_bwd_truncation_drops_quanta():
         f"no terminated quanta dropped ({keep.sum()} of {n_valid})")
 
 
+def test_bwd_survivor_probe():
+    """n_bwd_quanta reports the backward-truncation survivor count: it
+    matches the manual keep computation, is -1 when tracking is off, and
+    a probe-sized bwd_entries keeps gradients bit-equal to the full
+    backward (the sizing contract bench.py relies on)."""
+    params, cam, bg = _saturated_scene()
+    base = PL_CFG_SEG4._replace(max_entries=1 << 12)
+
+    out_off = R.rasterize(*params, cam, 1, bg,
+                          config=base._replace(bwd_entries=0))
+    assert int(out_off["n_bwd_quanta"]) == -1
+
+    out = R.rasterize(*params, cam, 1, bg,
+                      config=base._replace(bwd_entries=1 << 12))
+    n_bwd = int(out["n_bwd_quanta"])
+    n_quanta = base.max_entries // base.quantum
+    assert 0 < n_bwd < n_quanta
+
+    # Manual recomputation via the forward's deadness outputs.
+    from h3dgs_tpu.ops.binning import bin_gaussians_aligned
+    from h3dgs_tpu.ops.pallas_blend import (O_DEAD, PallasBlendConfig,
+                                            bwd_keep_mask, pack_entries,
+                                            pallas_blend_fwd)
+    from h3dgs_tpu.ops.projection import project_gaussians
+    proj = project_gaussians(*params, cam, 1, 1.0)
+    bins = bin_gaussians_aligned(proj, cam.height, cam.width,
+                                 base.max_entries, base.max_per_tile, 128)
+    packed = pack_entries(proj.means2d, proj.conic, proj.rgb, proj.opacity,
+                          1.0 / jnp.maximum(proj.depth, 1e-6),
+                          bins.gauss_idx, bins.perm)
+    tiles_x = -(-cam.width // 16)
+    chunk_out = pallas_blend_fwd(
+        packed, bins.owner, tiles_x=tiles_x, tile=16,
+        cfg=PallasBlendConfig(chunk_e=512, quantum=128, interpret=True,
+                              bwd_entries=512))
+    q_dead = jnp.min(chunk_out[:, O_DEAD, :], axis=1)
+    _, n_manual = bwd_keep_mask(bins.owner, q_dead)
+    assert n_bwd == int(n_manual)
+
+    # Probe-sized truncation budget: engaged AND lossless.
+    sized = -(-(n_bwd * 128) // base.chunk_e) * base.chunk_e
+    target = jnp.full((3, 32, 48), 0.4)
+
+    def grads(cfg):
+        def loss(p):
+            out = R.rasterize(*p, cam, 1, bg, config=cfg)
+            return photometric_loss(out["render"], target)
+        return jax.grad(loss)(params)
+
+    g_full = grads(base._replace(bwd_entries=0))
+    g_sized = grads(base._replace(bwd_entries=sized))
+    for a, b in zip(jax.tree.leaves(g_sized), jax.tree.leaves(g_full)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_invalid_shape_configs_rejected():
     params, cam, bg = _scene(n=20, seed=5)
     with pytest.raises(ValueError, match="multiple of"):
