@@ -103,9 +103,11 @@ class RuntimeConfig:
     # Upper bound for capacity growth (0 = unlimited).
     max_capacity: int = 0
     # Backward termination-truncation budget (ops/rasterize bwd_entries):
-    # -1 = auto (half the entry budget), 0 = disabled (r3 A/B winner),
-    # else slot count.
-    bwd_entries: int = 0
+    # -2 = adaptive (default: survivor tracking rides the forward for
+    # free; the loop engages a measured survivor-sized budget when it
+    # saves kernel/scatter work and disengages when it cannot),
+    # -1 = auto (half the entry budget), 0 = disabled, else slot count.
+    bwd_entries: int = -2
     # Pallas transmittance recurrence: "mxu" or "roll" (see pallas_blend).
     prefix_mode: str = "mxu"
     # Backward grid-step width (0 = auto: 512 when shapes allow, else

@@ -308,11 +308,27 @@ def bin_gaussians_aligned(proj: ProjectedGaussians, height: int, width: int,
     total = (offsets[-1] + counts[-1] if n > 0 else jnp.int32(0))
 
     starts = jnp.where((counts > 0) & (offsets < d), offsets, d)
-    marker = jnp.zeros((d + 1,), jnp.int32).at[starts].max(
-        jnp.arange(n, dtype=jnp.int32) + 1)
-    owner_g = jax.lax.cummax(marker[:d])
-    entry_valid = (owner_g > 0) & (jnp.arange(d) < jnp.minimum(total, d))
-    gauss = jnp.maximum(owner_g - 1, 0)
+    # Entry ownership fill (run-start scatter-max + cummax) is only needed
+    # when something consumes the per-entry ``gauss`` array: the gather
+    # fill indexes the table with it, and the 2-key sort carries it as
+    # payload. The production (cumsum, rank) path reads per-entry data
+    # from the delta-cumsum table and recovers identity from the sort key
+    # itself, so the ~3 ms scatter+cummax is skipped there. The validity
+    # test it provided is equivalent to the range test alone: the first
+    # active Gaussian always starts at offset 0, so cummax marks every
+    # slot < total (and the range test kills slots beyond).
+    entry_valid = jnp.arange(d) < jnp.minimum(total, d)
+    rank_bits = max(1, (n - 1).bit_length() if n > 1 else 1)
+    use_rank = (sort_mode == "rank"
+                and (n_tiles + 1) <= (((1 << 31) - 1) >> rank_bits))
+    need_owner_fill = fill != "cumsum" or not use_rank
+    if need_owner_fill:
+        marker = jnp.zeros((d + 1,), jnp.int32).at[starts].max(
+            jnp.arange(n, dtype=jnp.int32) + 1)
+        owner_g = jax.lax.cummax(marker[:d])
+        gauss = jnp.maximum(owner_g - 1, 0)
+    else:
+        gauss = None
 
     # Tight tile culling bound: for conic Q, alpha anywhere in a tile box is
     # <= opac * exp(-0.5 * lam_min(Q) * d_e^2) with d_e the Euclidean
@@ -346,9 +362,6 @@ def bin_gaussians_aligned(proj: ProjectedGaussians, height: int, width: int,
     # sort, ~2.7x faster than the 2-key+payload sort at D=2M. Depth order
     # per tile is exactly rank order, and rank doubles as the entry's
     # Gaussian identity (in rank space) for everything downstream.
-    rank_bits = max(1, (n - 1).bit_length() if n > 1 else 1)
-    use_rank = (sort_mode == "rank"
-                and (n_tiles + 1) <= (((1 << 31) - 1) >> rank_bits))
     if use_rank:
         iota_n = jnp.arange(n, dtype=jnp.int32)
         _, perm = jax.lax.sort((depth_bits, iota_n), num_keys=2)

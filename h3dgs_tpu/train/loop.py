@@ -35,7 +35,13 @@ def raster_config(cfg: FullConfig) -> RasterizeConfig:
                            max_per_tile=r.max_per_tile,
                            chunk=r.blend_chunk, chunk_e=r.chunk_e,
                            quantum=r.quantum,
-                           bwd_entries=(None if r.bwd_entries < 0
+                           # -1 = auto (D/2); -2 = adaptive (start in
+                           # tracking-only mode at the full budget — zero
+                           # overhead — and let the training loop resize
+                           # from measured survivor counts); else explicit.
+                           bwd_entries=(None if r.bwd_entries == -1
+                                        else max_entries
+                                        if r.bwd_entries == -2
                                         else r.bwd_entries),
                            prefix_mode=r.prefix_mode,
                            bwd_chunk_e=r.bwd_chunk_e,
@@ -388,10 +394,26 @@ def train_flat(cfg: FullConfig, scene: Scene, coarse: bool = False,
     # the first window's n_raw maximum is observed.
     split_gen = (cfg.runtime.gen_entries < 0
                  and cfg.runtime.adaptive_entries)
+    # Adaptive backward-truncation budget (runtime.bwd_entries == -2):
+    # starts tracking-only (bwd_entries == max_entries, zero overhead —
+    # the backward skips compaction at a full-size budget), engages a
+    # measured survivor-sized budget when that saves enough kernel +
+    # scatter work, disengages when it no longer can.
+    adaptive_bwd = cfg.runtime.bwd_entries == -2
+
+    def sync_bwd(rc, old_max):
+        # Keep tracking-only mode pinned to a changed entry budget.
+        if adaptive_bwd and rc.bwd_entries >= old_max:
+            rc = rc._replace(bwd_entries=rc.max_entries)
+        return rc
+
     if cfg.runtime.adaptive_entries:
-        r_cfg = r_cfg._replace(max_entries=max(entry_cap // 2, entry_floor))
+        old_max = r_cfg.max_entries
+        r_cfg = sync_bwd(r_cfg._replace(
+            max_entries=max(entry_cap // 2, entry_floor)), old_max)
     step = build_step(r_cfg)
     shrink_votes = 0
+    bwd_shrink_votes = 0
 
     state = scene.state
     opt = adam_lib.init(state.trainable_dict())
@@ -416,6 +438,7 @@ def train_flat(cfg: FullConfig, scene: Scene, coarse: bool = False,
     ndup_max = jnp.int32(0)
     ntrunc_max = jnp.int32(0)
     nraw_max = jnp.int32(0)
+    nbwd_max = jnp.int32(-1)
 
     try:
         for it in range(first_iter + 1, opt_cfg.iterations + 1):
@@ -438,6 +461,8 @@ def train_flat(cfg: FullConfig, scene: Scene, coarse: bool = False,
             ndup_max = jnp.maximum(ndup_max, out.n_duplicates)
             ntrunc_max = jnp.maximum(ntrunc_max, out.n_truncated)
             nraw_max = jnp.maximum(nraw_max, out.n_raw)
+            if out.n_bwd_quanta is not None:
+                nbwd_max = jnp.maximum(nbwd_max, out.n_bwd_quanta)
 
             if not coarse and it < opt_cfg.densify_until_iter:
                 if (it > opt_cfg.densify_from_iter
@@ -481,9 +506,11 @@ def train_flat(cfg: FullConfig, scene: Scene, coarse: bool = False,
                 n_dup = int(ndup_max)      # window max, not last view
                 n_trunc = int(ntrunc_max)
                 n_raw = int(nraw_max)
+                n_bwd = int(nbwd_max)
                 ndup_max = jnp.int32(0)
                 ntrunc_max = jnp.int32(0)
                 nraw_max = jnp.int32(0)
+                nbwd_max = jnp.int32(-1)
                 rate = it / max(time.time() - log.t_start, 1e-9)
                 msg = (f"[{it}/{opt_cfg.iterations}] "
                        f"loss={log.ema_photo:.5f} "
@@ -520,8 +547,9 @@ def train_flat(cfg: FullConfig, scene: Scene, coarse: bool = False,
                                           and cur_gen > 0)
                     if grow:
                         shrink_votes = 0
-                        r_cfg = r_cfg._replace(max_entries=max(want, cur),
-                                               gen_entries=gen_want)
+                        r_cfg = sync_bwd(r_cfg._replace(
+                            max_entries=max(want, cur),
+                            gen_entries=gen_want), cur)
                         step = build_step(r_cfg)
                         if primary:
                             print(f"[{it}] entry budget {cur} -> "
@@ -533,8 +561,9 @@ def train_flat(cfg: FullConfig, scene: Scene, coarse: bool = False,
                         shrink_votes += 1
                         if shrink_votes >= 6:
                             shrink_votes = 0
-                            r_cfg = r_cfg._replace(max_entries=want,
-                                                   gen_entries=gen_want)
+                            r_cfg = sync_bwd(r_cfg._replace(
+                                max_entries=want,
+                                gen_entries=gen_want), cur)
                             step = build_step(r_cfg)
                             if primary:
                                 print(f"[{it}] entry budget {cur} -> "
@@ -542,6 +571,45 @@ def train_flat(cfg: FullConfig, scene: Scene, coarse: bool = False,
                                       f"{gen_want})", flush=True)
                     else:
                         shrink_votes = 0
+                # Adaptive backward-truncation budget: size from the
+                # window's measured survivor maximum (1.2x headroom via
+                # _entry_bucket). Engage below 65% of the entry budget,
+                # disengage above 85% (hysteresis band keeps the step
+                # from re-jitting on boundary noise); grows immediately
+                # (an undershot budget falls back in-jit and pays the
+                # compaction for nothing), shrinks after 6 quiet windows.
+                if adaptive_bwd and n_bwd >= 0:
+                    quantum = min(r_cfg.quantum, r_cfg.chunk_e)
+                    mult = max(r_cfg.chunk_e,
+                               r_cfg.bwd_chunk_e or r_cfg.chunk_e)
+                    sized = _entry_bucket(max(n_bwd, 1) * quantum,
+                                          mult, r_cfg.max_entries)
+                    sized = min(-(-sized // mult) * mult,
+                                r_cfg.max_entries)
+                    cur_bwd = r_cfg.bwd_entries
+                    engaged = cur_bwd < r_cfg.max_entries
+                    want_bwd = None
+                    if not engaged and sized <= 0.65 * r_cfg.max_entries:
+                        want_bwd = sized
+                    elif engaged and sized >= 0.85 * r_cfg.max_entries:
+                        want_bwd = r_cfg.max_entries  # tracking-only
+                    elif engaged and sized > cur_bwd:
+                        want_bwd = sized              # fallback firing
+                    elif engaged and sized < cur_bwd:
+                        bwd_shrink_votes += 1
+                        if bwd_shrink_votes >= 6:
+                            want_bwd = sized
+                    if want_bwd is not None and want_bwd != cur_bwd:
+                        bwd_shrink_votes = 0
+                        r_cfg = r_cfg._replace(bwd_entries=want_bwd)
+                        step = build_step(r_cfg)
+                        if primary:
+                            print(f"[{it}] bwd budget {cur_bwd} -> "
+                                  f"{want_bwd} (survivors {n_bwd} quanta)",
+                                  flush=True)
+                    elif want_bwd is None and not (engaged
+                                                   and sized < cur_bwd):
+                        bwd_shrink_votes = 0
                 if progress_cb:
                     progress_cb(it, log)
             if it in save_iterations and primary:

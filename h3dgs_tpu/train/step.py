@@ -82,6 +82,9 @@ class StepOutput(NamedTuple):
     n_truncated: jax.Array
     # Raw duplicate count (pre-padding) — governs the gen_entries budget.
     n_raw: jax.Array
+    # Backward-surviving quantum count (-1 = not tracked); sizes the
+    # adaptive bwd_entries truncation budget (see train/loop.py).
+    n_bwd_quanta: Optional[jax.Array] = None
 
 
 def apply_exposure(image: jax.Array, exposure: jax.Array) -> jax.Array:
@@ -159,12 +162,12 @@ def make_train_step(opt_cfg: OptimizationConfig, raster_cfg: RasterizeConfig,
                 depth = jnp.zeros(())
             aux = (out["radii"], out["visibility_filter"],
                    out["n_duplicates"], out["n_truncated"], out["n_raw"],
-                   photo, depth)
+                   out["n_bwd_quanta"], photo, depth)
             return photo + depth, aux
 
         grad_fn = jax.grad(loss_fn, argnums=(0, 1, 2), has_aux=True)
         (g_params, g_exp, g_offset), aux = grad_fn(params, exp_row, offset)
-        radii, visible, n_dup, n_trunc, n_raw, photo, depth = aux
+        radii, visible, n_dup, n_trunc, n_raw, n_bwd, photo, depth = aux
 
         # --- skybox/scaffold gradient locking (train_single.py:162-168) ---
         if skybox_locked:
@@ -211,7 +214,8 @@ def make_train_step(opt_cfg: OptimizationConfig, raster_cfg: RasterizeConfig,
             state=new_state, opt=new_opt, exposure=exposure,
             exposure_opt=exposure_opt, photo_loss=photo, depth_loss=depth,
             n_visible=jnp.sum(visible.astype(jnp.int32)),
-            n_duplicates=n_dup, n_truncated=n_trunc, n_raw=n_raw)
+            n_duplicates=n_dup, n_truncated=n_trunc, n_raw=n_raw,
+            n_bwd_quanta=n_bwd)
 
     return step
 
