@@ -138,6 +138,34 @@ def entry_budgets_for_scene(*args, **kwargs) -> tuple:
     return gen, budget
 
 
+def _bwd_budget_decision(n_bwd: int, r_cfg, shrink_votes: int):
+    """One adaptive-bwd window decision: (new_bwd_entries | None, votes).
+
+    Sizes the truncation budget from the window's measured survivor
+    maximum (1.2x headroom via the quarter ladder). Engages below 65% of
+    the entry budget, disengages (back to zero-overhead tracking-only =
+    max_entries) above 85% — the hysteresis band keeps the step from
+    re-jitting on boundary noise. Grows immediately (an undershot budget
+    falls back in-jit every step and pays the compaction for nothing);
+    shrinks only after 6 consecutive quiet windows."""
+    quantum = min(r_cfg.quantum, r_cfg.chunk_e)
+    mult = max(r_cfg.chunk_e, r_cfg.bwd_chunk_e or r_cfg.chunk_e)
+    sized = _entry_bucket(max(n_bwd, 1) * quantum, mult, r_cfg.max_entries)
+    sized = min(-(-sized // mult) * mult, r_cfg.max_entries)
+    engaged = r_cfg.bwd_entries < r_cfg.max_entries
+    if not engaged and sized <= 0.65 * r_cfg.max_entries:
+        return sized, 0
+    if engaged and sized >= 0.85 * r_cfg.max_entries:
+        return r_cfg.max_entries, 0           # back to tracking-only
+    if engaged and sized > r_cfg.bwd_entries:
+        return sized, 0                       # fallback would fire: grow now
+    if engaged and sized < r_cfg.bwd_entries:
+        if shrink_votes + 1 >= 6:
+            return sized, 0
+        return None, shrink_votes + 1
+    return None, 0
+
+
 def bwd_entries_for_scene(means, scales, quats, opac, shs, camera,
                           sh_degree: int, *, config,
                           headroom: float = 1.3) -> int:
@@ -579,37 +607,16 @@ def train_flat(cfg: FullConfig, scene: Scene, coarse: bool = False,
                 # (an undershot budget falls back in-jit and pays the
                 # compaction for nothing), shrinks after 6 quiet windows.
                 if adaptive_bwd and n_bwd >= 0:
-                    quantum = min(r_cfg.quantum, r_cfg.chunk_e)
-                    mult = max(r_cfg.chunk_e,
-                               r_cfg.bwd_chunk_e or r_cfg.chunk_e)
-                    sized = _entry_bucket(max(n_bwd, 1) * quantum,
-                                          mult, r_cfg.max_entries)
-                    sized = min(-(-sized // mult) * mult,
-                                r_cfg.max_entries)
                     cur_bwd = r_cfg.bwd_entries
-                    engaged = cur_bwd < r_cfg.max_entries
-                    want_bwd = None
-                    if not engaged and sized <= 0.65 * r_cfg.max_entries:
-                        want_bwd = sized
-                    elif engaged and sized >= 0.85 * r_cfg.max_entries:
-                        want_bwd = r_cfg.max_entries  # tracking-only
-                    elif engaged and sized > cur_bwd:
-                        want_bwd = sized              # fallback firing
-                    elif engaged and sized < cur_bwd:
-                        bwd_shrink_votes += 1
-                        if bwd_shrink_votes >= 6:
-                            want_bwd = sized
+                    want_bwd, bwd_shrink_votes = _bwd_budget_decision(
+                        n_bwd, r_cfg, bwd_shrink_votes)
                     if want_bwd is not None and want_bwd != cur_bwd:
-                        bwd_shrink_votes = 0
                         r_cfg = r_cfg._replace(bwd_entries=want_bwd)
                         step = build_step(r_cfg)
                         if primary:
                             print(f"[{it}] bwd budget {cur_bwd} -> "
                                   f"{want_bwd} (survivors {n_bwd} quanta)",
                                   flush=True)
-                    elif want_bwd is None and not (engaged
-                                                   and sized < cur_bwd):
-                        bwd_shrink_votes = 0
                 if progress_cb:
                     progress_cb(it, log)
             if it in save_iterations and primary:

@@ -243,3 +243,39 @@ def test_rank_sort_matches_2key(seed):
         np.testing.assert_array_equal(np.asarray(getattr(a, name)),
                                       np.asarray(getattr(b, name)),
                                       err_msg=name)
+
+
+def test_bwd_budget_decision_state_machine():
+    """Adaptive bwd window decisions: engage/disengage hysteresis,
+    immediate grow on fallback pressure, 6-window shrink."""
+    from h3dgs_tpu.ops.rasterize import RasterizeConfig
+    from h3dgs_tpu.train.loop import _bwd_budget_decision
+
+    cfg = RasterizeConfig(max_entries=1 << 21, chunk_e=512, quantum=128,
+                          bwd_entries=1 << 21)  # tracking-only
+    # Few survivors -> engage with headroom, multiple of chunk_e.
+    want, votes = _bwd_budget_decision(4000, cfg, 0)
+    assert want is not None and want < cfg.max_entries
+    assert want % 512 == 0 and want >= int(4000 * 128 * 1.2)
+    engaged = cfg._replace(bwd_entries=want)
+
+    # Survivors near the full budget -> disengage back to tracking-only.
+    w2, _ = _bwd_budget_decision((1 << 21) // 128 - 100, engaged, 0)
+    assert w2 == cfg.max_entries
+
+    # Survivors above the engaged budget -> grow immediately.
+    w3, _ = _bwd_budget_decision(want // 128 + 512, engaged, 0)
+    assert w3 is not None and w3 > engaged.bwd_entries
+
+    # Smaller survivors: shrink only after 6 consecutive votes.
+    votes = 0
+    for i in range(5):
+        w4, votes = _bwd_budget_decision(1000, engaged, votes)
+        assert w4 is None
+    w4, votes = _bwd_budget_decision(1000, engaged, votes)
+    assert w4 is not None and w4 < engaged.bwd_entries and votes == 0
+
+    # Tracking-only with survivors in the dead band: no action.
+    mid = int(0.75 * (1 << 21)) // 128
+    w5, _ = _bwd_budget_decision(mid, cfg, 3)
+    assert w5 is None
