@@ -221,6 +221,25 @@ def main():
                                               bwd_chunk_e=256),
         }, ref_name="E=asis", fallback_cfg=best_cfg)
 
+    # Stage 2q: alignment quantum 256 at ITS OWN honestly-probed budget
+    # (coarser alignment pads the stream more, so racing it at the Q=128
+    # budget would either overflow or flatter it). Q=256 won the
+    # 2026-08-18 fixed-budget A/B by ~3 ms (ab_r02: 127.1 vs 130.6).
+    try:
+        gen256, budget256 = entry_budgets_for_scene(
+            *params, cam, 3, quantum=256)
+        print(f"  Q=256 budget {budget256} (gen {gen256})", file=sys.stderr,
+              flush=True)
+        if budget256 % best_cfg.chunk_e == 0:
+            best_cfg = run_stage("stage-2q", {
+                "Q=asis": best_cfg,
+                "Q=256": best_cfg._replace(quantum=256,
+                                           max_entries=budget256),
+            }, ref_name="Q=asis", fallback_cfg=best_cfg)
+    except Exception as ex:
+        print(f"  stage-2q probe failed ({type(ex).__name__})",
+              file=sys.stderr, flush=True)
+
     # Stage 3: glue-op alternatives (bit-exact vs the defaults — see
     # tests — so this is purely a timing race): binning fill, sort mode,
     # batched post-quantum transmittance, unsplit gen budget.
