@@ -72,20 +72,18 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
     c1 = 0.01 ** 2
     c2 = 0.03 ** 2
 
-    # One stacked blur over [5C, H, W] instead of five [C, H, W] blurs:
-    # identical taps per channel (bit-exact), one shifted-add pass chain
-    # for XLA to fuse instead of five.
-    stacked = jnp.concatenate(
-        [img1, img2, img1 * img1, img2 * img2, img1 * img2], axis=0)
-    c = img1.shape[0]
-    b = _blur(stacked, window)
-    mu1, mu2 = b[:c], b[c:2 * c]
+    # NOTE: a stacked [5C,H,W] single-blur formulation was measured SLOWER
+    # on chip (6.3 vs 4.5 ms at 1080p, 2026-08-19): the concatenate
+    # materializes a 124 MB stack that the five separate fused blur chains
+    # never build. Keep the blurs separate.
+    mu1 = _blur(img1, window)
+    mu2 = _blur(img2, window)
     mu1_sq = mu1 * mu1
     mu2_sq = mu2 * mu2
     mu1_mu2 = mu1 * mu2
-    sigma1_sq = b[2 * c:3 * c] - mu1_sq
-    sigma2_sq = b[3 * c:4 * c] - mu2_sq
-    sigma12 = b[4 * c:] - mu1_mu2
+    sigma1_sq = _blur(img1 * img1, window) - mu1_sq
+    sigma2_sq = _blur(img2 * img2, window) - mu2_sq
+    sigma12 = _blur(img1 * img2, window) - mu1_mu2
 
     ssim_map = (((2.0 * mu1_mu2 + c1) * (2.0 * sigma12 + c2))
                 / ((mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)))
