@@ -135,16 +135,6 @@ class PallasBlendConfig(NamedTuple):
     rows_layout: bool = False
 
 
-def _pixel_coords(owner, tiles_x: int, tile: int, p: int, dtype):
-    """Per-pixel coordinates for a tile: ([P,1], [P,1]) pixel-major."""
-    ty = (owner // tiles_x).astype(dtype)
-    tx = (owner % tiles_x).astype(dtype)
-    pid = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
-    lx = (pid % tile).astype(dtype)
-    ly = (pid // tile).astype(dtype)
-    return tx * tile + lx, ty * tile + ly
-
-
 def _alpha_terms(e, px, py):
     """Shared forward math. e: [16,E]; px/py: [P,1]. Results [P,E]."""
     dx = px - e[R_MX:R_MX + 1, :]
@@ -269,12 +259,24 @@ def _seg_recurrence(e, seg: _Segments, trans, term, tiles_x: int,
     Groups of equal-owner quanta share one running transmittance; the
     segmented prefix (_seg_prefix) stops log-accumulation at group
     boundaries, and the carried state only feeds group 0."""
-    px = jnp.zeros((p, e.shape[1]), e.dtype)
-    py = jnp.zeros((p, e.shape[1]), e.dtype)
+    # Pixel coordinates as [1,E] tile origins + [P,1] in-tile offsets:
+    # building px/py with S full [P,E] wheres cost 2S VPU passes per
+    # chunk; the [1,E] selects are ~free and the broadcast add is exact
+    # (tile origins and offsets are small integers in f32), so px/py are
+    # bit-identical to the old per-segment construction.
+    ew = e.shape[1]
+    x0 = jnp.zeros((1, ew), e.dtype)
+    y0 = jnp.zeros((1, ew), e.dtype)
     for i, m in enumerate(seg.masks):
-        pxi, pyi = _pixel_coords(seg.owners[i], tiles_x, tile, p, e.dtype)
-        px = jnp.where(m, pxi, px)
-        py = jnp.where(m, pyi, py)
+        ty = (seg.owners[i] // tiles_x).astype(e.dtype)
+        tx = (seg.owners[i] % tiles_x).astype(e.dtype)
+        x0 = jnp.where(m, tx * tile, x0)
+        y0 = jnp.where(m, ty * tile, y0)
+    pid = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    lx = (pid % tile).astype(e.dtype)
+    ly = (pid // tile).astype(e.dtype)
+    px = x0 + lx                                         # [P,E]
+    py = y0 + ly
     alpha, ok, om, dx, dy, alpha_raw = _alpha_terms(e, px, py)
     t_carry = trans[:, 0:1]                              # [P,1]
     term_carry = term[:, 0:1]
@@ -464,10 +466,21 @@ def _bwd_kernel(owner_ref, entries_ref, grads_ref, dentries_ref,
             prefix_mode=prefix_mode)
 
         attr = _attr4(e)                                     # [4,E]
-        g_tot = jnp.zeros_like(contrib)
-        t_fin = jnp.zeros_like(contrib)
-        g_t = jnp.zeros_like(contrib)
         masks_f = [seg.masks[i].astype(e.dtype) for i in range(s)]
+
+        def lane_blocked(row):
+            """[P,E] whose lanes carry quantum i's [P,1] column ``row(i)``
+            on quantum i's lane block — one concatenate instead of S
+            full-width where passes (bit-identical: pure placement)."""
+            if s == 1:
+                return jnp.broadcast_to(row(0), (p, q))
+            return jnp.concatenate(
+                [jnp.broadcast_to(row(i), (p, q)) for i in range(s)],
+                axis=1)
+
+        g_tot = lane_blocked(lambda i: grads_ref[i][G_TOT:G_TOT + 1, :].T)
+        t_fin = lane_blocked(lambda i: grads_ref[i][G_TFIN:G_TFIN + 1, :].T)
+        g_t = lane_blocked(lambda i: grads_ref[i][O_T:O_T + 1, :].T)
         # Batched MXU work (see the forward): stack the S quanta's
         # cotangent rows into one [4S,P] operand.
         g_big = jnp.concatenate(
@@ -489,14 +502,6 @@ def _bwd_kernel(owner_ref, entries_ref, grads_ref, dentries_ref,
             g_big, a_masked, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)             # [P, E]
-        for i in range(s):
-            gi = grads_ref[i]                                # [N_OUT,P]
-            g_tot = jnp.where(seg.masks[i],
-                              gi[G_TOT:G_TOT + 1, :].T, g_tot)
-            t_fin = jnp.where(seg.masks[i],
-                              gi[G_TFIN:G_TFIN + 1, :].T, t_fin)
-            g_t = jnp.where(seg.masks[i], gi[O_T:O_T + 1, :].T, g_t)
-
         if not rows_layout:
             # Write the attribute-gradient rows immediately (before the
             # prefix machinery) — delaying them extends dx/dy/d_attr live
@@ -839,8 +844,17 @@ def _blend_bwd(n_tiles, tiles_x, tile, cfg, res, g):
                                    k_slots=cfg.scatter_k, rank=rank,
                                    rows_layout=cfg.rows_layout)
 
+    d_stream = stream.shape[0] if cfg.bwd_entries else None
     if not cfg.bwd_entries:
         grads = run(stream, owner, gauss_idx)
+    elif cfg.bwd_entries >= d_stream:
+        # Tracking-only mode: the forward's deadness bookkeeping (and the
+        # n_bwd_quanta report) stays on, but a full-size truncation budget
+        # cannot save anything — skip the compaction gather/re-pack and
+        # run the full stream directly. This makes survivor tracking free
+        # for the adaptive trainer.
+        grads = run(stream if cfg.rows_layout else stream.T,
+                    owner, gauss_idx)
     else:
         rows = stream                                        # [D, 16]
         qw = cfg.quantum
