@@ -219,6 +219,12 @@ def main():
                                               bwd_chunk_e=512),
             "E1024/bwd256": best_cfg._replace(chunk_e=1024,
                                               bwd_chunk_e=256),
+            # Full-width backward: OOM'd Mosaic's 16M scoped VMEM by 1.57M
+            # before the 2026-08-19 kernel pass-reductions freed several
+            # [P,E] temporaries — raced again now; run_stage tolerates a
+            # compile failure.
+            "E1024/bwd1024": best_cfg._replace(chunk_e=1024,
+                                               bwd_chunk_e=1024),
         }, ref_name="E=asis", fallback_cfg=best_cfg)
 
     # Stage 2q: alignment quantum 256 at ITS OWN honestly-probed budget
