@@ -58,6 +58,9 @@ def main():
             raise SystemExit(3)
 
     import jax
+    from h3dgs_tpu.utils.runtime import enable_compile_cache
+    enable_compile_cache()
+
     # This container's sitecustomize registers the axon TPU plugin; a
     # plain JAX_PLATFORMS env var does not stop it from dialing the
     # tunnel. For CPU smoke runs set BENCH_PLATFORM=cpu (config update

@@ -36,3 +36,21 @@ def safe_state(quiet: bool = False, seed: int = 0,
     np.random.seed(seed)
     if quiet or timestamps:
         sys.stdout = _TimestampedOut(sys.stdout, quiet)
+
+
+def enable_compile_cache(path: str = "~/.cache/h3dgs_jax_cache") -> None:
+    """Persistent XLA compilation cache for scripts/benches.
+
+    On the tunneled TPU backend a cold rasterizer compile is 20-300 s;
+    the measurement scripts recompile the same executables every run.
+    Call this before the first computation (tests get the equivalent via
+    conftest.py). Harmless no-op if the backend can't serialize."""
+    import os
+
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser(path))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass

@@ -119,7 +119,11 @@ class HierarchyRenderer:
                     xyz, scales, quats, opac, shs, camera,
                     self.sh_degree, self.bg, self.raster_cfg,
                     mesh=self.mesh, band_axis=self.band_axis)
-                return out["render"]
+                # uint8 on device: the host transfer is 4x smaller
+                # ([H,W,3] u8 vs [3,H,W] f32) — on the tunneled backend
+                # the wire, not the splat, dominates interactive frames.
+                img = jnp.clip(out["render"], 0.0, 1.0)
+                return (img.transpose(1, 2, 0) * 255.0).astype(jnp.uint8)
             self._splat_jit[key] = run
         return self._splat_jit[key]
 
@@ -177,12 +181,10 @@ class HierarchyRenderer:
     def render(self, camera: Camera, tau: float = 3.0):
         """Returns (rgb [H,W,3] uint8, stats dict)."""
         flat, count, limit, reused = self._cut_for(camera, tau)
-        render = self._splat_fn(camera.height, camera.width)(
-            camera, *flat)
-        img = np.asarray(render).clip(0, 1)
-        return ((img.transpose(1, 2, 0) * 255).astype(np.uint8),
-                {"cut_size": int(count), "limit": limit,
-                 "cut_reused": reused})
+        img = np.asarray(self._splat_fn(camera.height, camera.width)(
+            camera, *flat))
+        return (img, {"cut_size": int(count), "limit": limit,
+                      "cut_reused": reused})
 
 
 def orbit(renderer: HierarchyRenderer, out_dir: str, n_frames: int = 60,

@@ -51,6 +51,9 @@ def scene():
 
 def time_cfg(params, cam, cfg, iters, label, salt0=0.0):
     import jax
+    from h3dgs_tpu.utils.runtime import enable_compile_cache
+    enable_compile_cache()
+
     import jax.numpy as jnp
 
     from h3dgs_tpu.ops.rasterize import rasterize

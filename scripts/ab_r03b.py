@@ -13,6 +13,9 @@ from ab_r03 import scene, time_cfg
 
 def main(iters=10):
     import jax
+    from h3dgs_tpu.utils.runtime import enable_compile_cache
+    enable_compile_cache()
+
     import jax.numpy as jnp
 
     from h3dgs_tpu.ops.rasterize import RasterizeConfig, rasterize

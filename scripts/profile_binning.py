@@ -21,6 +21,9 @@ import numpy as np
 
 def bench_fn(fn, args, iters=20):
     import jax
+    from h3dgs_tpu.utils.runtime import enable_compile_cache
+    enable_compile_cache()
+
     import jax.numpy as jnp
 
     jfn = jax.jit(lambda salt, *a: fn(*((a[0] + salt,) + a[1:])))

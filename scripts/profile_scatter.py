@@ -14,6 +14,9 @@ import numpy as np
 
 def main():
     import jax
+    from h3dgs_tpu.utils.runtime import enable_compile_cache
+    enable_compile_cache()
+
     import jax.numpy as jnp
 
     n = 200_000

@@ -20,6 +20,9 @@ def bench_fn(fn, args, iters=20, perturb_idx=0):
     leftover warmup work would bleed into the measurement.
     """
     import jax
+    from h3dgs_tpu.utils.runtime import enable_compile_cache
+    enable_compile_cache()
+
     import jax.numpy as jnp
 
     jfn = jax.jit(lambda salt, *a: fn(*((a[0] + salt,) + a[1:])))

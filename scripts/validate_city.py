@@ -110,6 +110,9 @@ def street_cameras():
 
 def main():
     import jax
+    from h3dgs_tpu.utils.runtime import enable_compile_cache
+    enable_compile_cache()
+
     import jax.numpy as jnp
 
     from PIL import Image

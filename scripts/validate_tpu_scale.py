@@ -24,6 +24,9 @@ def main(iters: int = 5000):
     import os
 
     import jax
+    from h3dgs_tpu.utils.runtime import enable_compile_cache
+    enable_compile_cache()
+
     if os.environ.get("VAL_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["VAL_PLATFORM"])
     import jax.numpy as jnp
