@@ -88,7 +88,11 @@ def render_set(scene, cfg, taus, out_dir: str, save_images: bool = True):
                     os.path.join(tau_dir, f"{vi:05d}.png"))
         res = {"psnr": float(np.mean(psnrs)),
                "ssim": float(np.mean(ssims)),
-               "lpips": float(np.mean(lpipss)) if lpipss else None,
+               # The reference's metric triple always includes LPIPS
+               # (render_hierarchy.py:108-120); when no weights artifact
+               # exists the JSON says WHY instead of a bare null.
+               "lpips": (float(np.mean(lpipss)) if lpipss
+                         else M.LPIPS_UNAVAILABLE),
                "n_views": len(cams)}
         results[tau] = res
         print(f"tau={tau}: PSNR {res['psnr']:.3f} SSIM {res['ssim']:.4f} "

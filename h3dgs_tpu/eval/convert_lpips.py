@@ -44,8 +44,16 @@ def convert(out_path: str) -> None:
     for i, lin in enumerate(net.lins):
         arrays[f"lin{i}.weight"] = lin.model[-1].weight.detach().numpy()
 
+    # Checksum pin: torchvision names the checkpoint by its sha256 prefix
+    # (vgg16-397923af.pth) and verifies the digest on download, so this
+    # tag certifies the exact upstream tensors. metrics._load_weights
+    # warns when an .npz lacks it (random/test weights).
+    from .metrics import LPIPS_SOURCE_TAG, validate_weights_layout
+    validate_weights_layout(arrays)
+    arrays["source_tag"] = np.asarray(LPIPS_SOURCE_TAG)
+
     np.savez(out_path, **arrays)
-    print(f"LPIPS weights -> {out_path}")
+    print(f"LPIPS weights -> {out_path} (source {LPIPS_SOURCE_TAG})")
 
 
 if __name__ == "__main__":

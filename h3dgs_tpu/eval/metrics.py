@@ -22,6 +22,19 @@ from ..utils.losses import psnr, ssim  # noqa: F401  (re-exported)
 
 LPIPS_WEIGHTS_ENV = "H3DGS_LPIPS_WEIGHTS"
 
+# Sentinel written into eval JSONs when no weights artifact exists in the
+# environment (the reference always reports the PSNR/SSIM/LPIPS triple,
+# /root/reference/render_hierarchy.py:108-120; a bare ``null`` under-
+# reports WHY the third metric is absent).
+LPIPS_UNAVAILABLE = "unavailable(no-weights)"
+
+# Checksum pin of the upstream source checkpoint: torchvision's
+# vgg16-397923af.pth (the filename suffix IS the sha256 prefix torchvision
+# verifies on download). convert_lpips embeds this tag in the .npz; the
+# loader warns when a weights file lacks it (random/test weights) so a
+# wrong artifact can't silently masquerade as the real metric.
+LPIPS_SOURCE_TAG = "vgg16-397923af"
+
 # VGG16 conv layout per block (out-channels), relu indices used by LPIPS.
 _VGG_CFG = ((64, 64), (128, 128), (256, 256, 256),
             (512, 512, 512), (512, 512, 512))
@@ -59,10 +72,52 @@ def _find_weights(path: Optional[str]) -> Optional[str]:
     return None
 
 
+def validate_weights_layout(z) -> None:
+    """Structural checksum of an LPIPS .npz: 13 VGG16 convs with the
+    exact channel progression, 3x3 kernels, and 5 non-negative linear
+    heads over the block-final channels. Raises ValueError on any
+    mismatch — a malformed artifact must fail the eval loudly, not
+    produce a plausible-looking wrong number."""
+    cin, li = 3, 0
+    for block in _VGG_CFG:
+        for cout in block:
+            k = f"conv{li}.weight"
+            if k not in z:
+                raise ValueError(f"LPIPS weights missing {k}")
+            if tuple(z[k].shape) != (cout, cin, 3, 3):
+                raise ValueError(
+                    f"LPIPS {k} shape {tuple(z[k].shape)} != "
+                    f"{(cout, cin, 3, 3)}")
+            if tuple(z[f"conv{li}.bias"].shape) != (cout,):
+                raise ValueError(f"LPIPS conv{li}.bias shape mismatch")
+            cin = cout
+            li += 1
+    for i, block in enumerate(_VGG_CFG):
+        k = f"lin{i}.weight"
+        if k not in z:
+            raise ValueError(f"LPIPS weights missing {k}")
+        if tuple(z[k].shape) != (1, block[-1], 1, 1):
+            raise ValueError(
+                f"LPIPS {k} shape {tuple(z[k].shape)} != "
+                f"{(1, block[-1], 1, 1)}")
+        if np.any(np.asarray(z[k]) < 0):
+            raise ValueError(f"LPIPS {k} has negative entries (the "
+                             "heads are non-negative by construction)")
+
+
 @functools.lru_cache(maxsize=1)
 def _load_weights(path: str):
     z = np.load(path)
-    return {k: jnp.asarray(z[k]) for k in z.files}
+    validate_weights_layout(z)
+    tag = str(z["source_tag"]) if "source_tag" in z.files else ""
+    if LPIPS_SOURCE_TAG not in tag:
+        import sys
+        print(f"[eval] WARNING: LPIPS weights at {path} carry no "
+              f"'{LPIPS_SOURCE_TAG}' source tag — treat reported LPIPS "
+              "as non-standard (test/random weights?)", file=sys.stderr,
+              flush=True)
+    return {k: jnp.asarray(z[k]) for k in z.files
+            if k.startswith(("conv", "lin"))}
 
 
 def _vgg_features(x, w):

@@ -84,7 +84,8 @@ def make_parallel_train_step(opt_cfg: OptimizationConfig,
             else:
                 depth = jnp.zeros(())
             aux = (out["radii"], out["visibility_filter"], photo, depth,
-                   out["n_duplicates"], out["n_truncated"], out["n_raw"])
+                   out["n_duplicates"], out["n_truncated"], out["n_raw"],
+                   out["n_bwd_quanta"])
             return photo + depth, aux
 
         def batch_loss(params, exposure, offset):
@@ -95,12 +96,14 @@ def make_parallel_train_step(opt_cfg: OptimizationConfig,
 
         grad_fn = jax.grad(batch_loss, argnums=(0, 1, 2), has_aux=True)
         (g_params, g_exp, g_offset), aux = grad_fn(params, exposure, offset)
-        radii_b, visible_b, photo_b, depth_b, dup_b, trunc_b, raw_b = aux
+        (radii_b, visible_b, photo_b, depth_b, dup_b, trunc_b, raw_b,
+         bwd_b) = aux
         radii = jnp.max(radii_b, axis=0)
         visible = jnp.any(visible_b, axis=0)
         n_dup = jnp.max(dup_b)
         n_trunc = jnp.max(trunc_b)
         n_raw = jnp.max(raw_b)
+        n_bwd = jnp.max(bwd_b)
 
         if skybox_locked:
             locked = state.locked_rows_mask()
@@ -140,7 +143,8 @@ def make_parallel_train_step(opt_cfg: OptimizationConfig,
             exposure_opt=exposure_opt, photo_loss=jnp.mean(photo_b),
             depth_loss=jnp.mean(depth_b),
             n_visible=jnp.sum(visible.astype(jnp.int32)),
-            n_duplicates=n_dup, n_truncated=n_trunc, n_raw=n_raw)
+            n_duplicates=n_dup, n_truncated=n_trunc, n_raw=n_raw,
+            n_bwd_quanta=n_bwd)
 
     return step
 
@@ -201,7 +205,8 @@ def make_dp_train_step(opt_cfg: OptimizationConfig,
             else:
                 depth = jnp.zeros(())
             aux = (out["radii"], out["visibility_filter"], photo, depth,
-                   out["n_duplicates"], out["n_truncated"], out["n_raw"])
+                   out["n_duplicates"], out["n_truncated"], out["n_raw"],
+                   out["n_bwd_quanta"])
             return photo + depth, aux
 
         n_total = batch.gt_image.shape[0]
@@ -215,14 +220,17 @@ def make_dp_train_step(opt_cfg: OptimizationConfig,
                 (g_p, g_e, g_o), aux = jax.grad(
                     view_loss, argnums=(0, 1, 2), has_aux=True)(
                         params, exposure, offset, view)
-                radii, visible, photo, depth, n_dup, n_trunc, n_raw = aux
+                (radii, visible, photo, depth, n_dup, n_trunc, n_raw,
+                 n_bwd) = aux
                 g_acc = jax.tree.map(jnp.add, g_acc, (g_p, g_e, g_o))
                 stats = (jnp.maximum(stats[0], radii),
                          stats[1] | visible,
                          stats[2] + photo, stats[3] + depth,
                          jnp.maximum(stats[4], n_dup),
                          jnp.maximum(stats[5], n_trunc),
-                         jnp.maximum(stats[6], n_raw))
+                         jnp.maximum(stats[6], n_raw),
+                         # -1 init survives max: stays -1 iff untracked.
+                         jnp.maximum(stats[7], n_bwd))
                 return (g_acc, stats), None
 
             zero_g = (jax.tree.map(jnp.zeros_like, params),
@@ -233,7 +241,8 @@ def make_dp_train_step(opt_cfg: OptimizationConfig,
                       jnp.zeros(()), jnp.zeros(()),
                       jnp.zeros((), jnp.int32),
                       jnp.zeros((), jnp.int32),
-                      jnp.zeros((), jnp.int32))
+                      jnp.zeros((), jnp.int32),
+                      jnp.full((), -1, jnp.int32))
             (g, stats), _ = jax.lax.scan(body, (zero_g, zero_s), batch)
             g = jax.lax.psum(jax.tree.map(lambda x: x / n_total, g),
                              DATA_AXIS)
@@ -245,8 +254,9 @@ def make_dp_train_step(opt_cfg: OptimizationConfig,
             n_dup = jax.lax.pmax(stats[4], DATA_AXIS)
             n_trunc = jax.lax.pmax(stats[5], DATA_AXIS)
             n_raw = jax.lax.pmax(stats[6], DATA_AXIS)
+            n_bwd = jax.lax.pmax(stats[7], DATA_AXIS)
             return g, (radii, visible, photo, depth, n_dup, n_trunc,
-                       n_raw)
+                       n_raw, n_bwd)
 
         batch_spec = jax.tree.map(lambda _: P(DATA_AXIS), batch)
         (g_params, g_exp, g_offset), aux = jax.shard_map(
@@ -256,7 +266,7 @@ def make_dp_train_step(opt_cfg: OptimizationConfig,
             out_specs=(P(), P()),
             check_vma=False,
         )(params, exposure, batch)
-        radii, visible, photo, depth, n_dup, n_trunc, n_raw = aux
+        radii, visible, photo, depth, n_dup, n_trunc, n_raw, n_bwd = aux
 
         if skybox_locked:
             locked = state.locked_rows_mask()
@@ -296,7 +306,8 @@ def make_dp_train_step(opt_cfg: OptimizationConfig,
             exposure_opt=exposure_opt, photo_loss=photo,
             depth_loss=depth,
             n_visible=jnp.sum(visible.astype(jnp.int32)),
-            n_duplicates=n_dup, n_truncated=n_trunc, n_raw=n_raw)
+            n_duplicates=n_dup, n_truncated=n_trunc, n_raw=n_raw,
+            n_bwd_quanta=n_bwd)
 
     return step
 

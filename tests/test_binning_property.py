@@ -122,7 +122,9 @@ def test_entry_budget_probe_is_exact():
     args = (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
             jnp.asarray(opac), jnp.asarray(shs))
 
-    budget = entry_budget_for_scene(*args, cam, 1)
+    budget = entry_budget_for_scene(*args, cam, 1, floor=2048)
+    bucket = entry_budget_for_scene(*args, cam, 1, floor=2048,
+                                    exact=False)
 
     proj = project_gaussians(*args, cam, 1)
     big = binning.bin_gaussians_aligned(proj, 64, 96,
@@ -130,9 +132,14 @@ def test_entry_budget_probe_is_exact():
                                         max_per_tile=4096, chunk_e=128)
     need = max(int(big.total_entries), int(big.aligned_entries))
     assert need < (1 << 16), "test scene must fit the oracle buffer"
-    want = -(-_entry_bucket(need, 1 << 13, 1 << 23) // 1024) * 1024
-    assert budget == want
-    assert budget >= need or budget == 1 << 23
+    # exact mode: the measured need rounded up to a 2048 multiple — no
+    # ladder headroom (static scenes allocate exactly, like the CUDA
+    # reference).
+    assert budget == max(-(-need // 2048) * 2048, 2048)
+    # ladder mode: the trainer's bucket, always covering the need.
+    want = -(-_entry_bucket(need, 2048, 1 << 23) // 1024) * 1024
+    assert bucket == want
+    assert bucket >= need or bucket == 1 << 23
 
 
 @pytest.mark.parametrize("seed,d", [(0, 1 << 12), (3, 1 << 12),

