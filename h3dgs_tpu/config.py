@@ -133,6 +133,13 @@ class RuntimeConfig:
     # D-proportional generation ops fuse well enough that the smaller
     # buffer buys nothing.
     gen_entries: int = 0
+    # Quality-gated per-tile depth truncation (ops/binning
+    # bin_gaussians_aligned trunc_theta/trunc_c): cut each tile's
+    # depth-sorted run once the proxy transmittance falls below theta.
+    # 0 = off (exact rendering, the default) — lossy, promote only after
+    # a PSNR/grad A/B on the target scene (bench.py gates it).
+    trunc_theta: float = 0.0
+    trunc_c: float = 1.0
     # In-step view data parallelism: shard a batch of views over this many
     # devices (parallel/step.make_dp_train_step); 1 = single-device loop.
     data_devices: int = 1

@@ -27,6 +27,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .projection import ProjectedGaussians
 
@@ -163,6 +164,10 @@ class AlignedBins(NamedTuple):
     # tile; any nonzero value here is a quality cliff the training loop
     # must surface (VERDICT r1 weak-4).
     n_truncated: jnp.ndarray
+    # [] int32: entries cut by the *intentional* quality-gated per-tile
+    # depth truncation (trunc_theta > 0) — telemetry for budget probes
+    # and the bench's PSNR gate, NOT an anomaly (unlike n_truncated).
+    n_flimit: jnp.ndarray = jnp.int32(0)
     # Rank-key mode (the fast path): ``gauss_idx`` is in DEPTH-RANK space.
     # ``perm`` maps rank -> original Gaussian id, ``rank`` is its inverse
     # (gaussian -> rank). Both None when the 2-key fallback ran and
@@ -183,7 +188,8 @@ def align_segments(binned: BinnedGaussians, n_tiles: int, max_entries: int,
 
 
 def _aligned_from_sorted(gauss_idx, tile_start, tile_count, total, n_tiles,
-                         max_per_tile, chunk_e, d_out: int = 0) -> AlignedBins:
+                         max_per_tile, chunk_e, d_out: int = 0,
+                         n_flimit=None) -> AlignedBins:
     """Aligned relayout as per-chunk contiguous slice gathers.
 
     The sorted->aligned map is piecewise-contiguous (each tile's run just
@@ -248,7 +254,9 @@ def _aligned_from_sorted(gauss_idx, tile_start, tile_count, total, n_tiles,
         tile_count=count.astype(jnp.int32),
         total_entries=total,
         aligned_entries=(astart[-1] + aligned[-1]).astype(jnp.int32),
-        n_truncated=n_trunc.astype(jnp.int32))
+        n_truncated=n_trunc.astype(jnp.int32),
+        n_flimit=(jnp.int32(0) if n_flimit is None
+                  else n_flimit.astype(jnp.int32)))
 
 
 def _delta_cumsum_rows(gtab, counts, starts, d: int):
@@ -282,7 +290,9 @@ def bin_gaussians_aligned(proj: ProjectedGaussians, height: int, width: int,
                           tile: int = TILE,
                           fill: str = "gather",
                           sort_mode: str = "rank",
-                          gen_entries: int = 0) -> AlignedBins:
+                          gen_entries: int = 0,
+                          trunc_theta: float = 0.0,
+                          trunc_c: float = 1.0) -> AlignedBins:
     """Fused binning for the Pallas blend: single-key sort + aligned layout.
 
     Faster than bin_gaussians + align_segments: one i32 sort key (rank-key
@@ -295,7 +305,27 @@ def bin_gaussians_aligned(proj: ProjectedGaussians, height: int, width: int,
     blend kernel consumes — the padding is typically 1.2-1.5x the raw
     count, so a split-sized generation stream cuts every D-proportional
     op before the relayout by the same factor. 0 = use max_entries for
-    both (single buffer)."""
+    both (single buffer).
+
+    ``trunc_theta`` > 0 enables *quality-gated per-tile depth truncation*
+    (VERDICT r3 item 1b — the TPU answer to CUDA's per-pixel early-out,
+    applied at binning): along each tile's depth-sorted entry run, a
+    proxy transmittance T_k = prod_{i<=k}(1 - trunc_c * alpha_ub_i)
+    accumulates the per-entry tile-level alpha bound
+    alpha_ub = opac * exp(-0.5 * lam_min(conic) * d_e^2) (the same bound
+    the lossless cull uses, but summed instead of thresholded); the run
+    is cut after the entry where T_k first drops below trunc_theta.
+    Entries behind an opaque wall of splats contribute ~nothing yet cost
+    every downstream D-proportional op (pack gather, blend kernels,
+    gradient scatter) — this is where the CUDA kernel's per-pixel
+    termination saves most of ITS work
+    (/root/reference/gaussian_renderer/__init__.py:105-113 does it inside
+    the fused op). Unlike the per-pixel rule this is approximate (the
+    bound is a tile-level max, not per-pixel), so it is OFF by default
+    and must be promoted only behind a PSNR/grad A/B gate (bench.py).
+    ``trunc_c`` in (0, 1] scales the bound: smaller = more conservative.
+    Cut depth-order prefixes keep the aligned layout exactly (truncation
+    is just a smaller per-tile count)."""
     tiles_y, tiles_x = num_tiles(height, width, tile)
     n_tiles = tiles_y * tiles_x
     n = proj.means2d.shape[0]
@@ -409,6 +439,7 @@ def bin_gaussians_aligned(proj: ProjectedGaussians, height: int, width: int,
             side="left")
         tile_start = bounds[:n_tiles]
         tile_end = bounds[1:]
+        tile_of = (sorted_key >> rank_bits).astype(jnp.int32)
     else:
         # Two-key sort: tile id major, positive-f32 depth *bits* minor
         # (order-preserving as int32, avoiding an f32 comparator).
@@ -416,9 +447,74 @@ def bin_gaussians_aligned(proj: ProjectedGaussians, height: int, width: int,
             (tile_id, grows[:, 4], gauss), num_keys=2)
         tile_start = jnp.searchsorted(sorted_tile, tile_range, side="left")
         tile_end = jnp.searchsorted(sorted_tile, tile_range, side="right")
+        tile_of = sorted_tile
+    counts_t = (tile_end - tile_start).astype(jnp.int32)
+    n_flimit = None
+    if trunc_theta > 0.0:
+        counts_t, n_flimit = _flimit_counts(
+            proj, lam_min, sorted_gauss, tile_of, tile_start, counts_t,
+            perm, n_tiles, tiles_x, tile, trunc_theta, trunc_c)
     out = _aligned_from_sorted(
         sorted_gauss.astype(jnp.int32), tile_start.astype(jnp.int32),
-        (tile_end - tile_start).astype(jnp.int32),
-        jnp.asarray(total, jnp.int32), n_tiles, max_per_tile, chunk_e,
-        d_out=max_entries)
+        counts_t, jnp.asarray(total, jnp.int32), n_tiles, max_per_tile,
+        chunk_e, d_out=max_entries, n_flimit=n_flimit)
     return out._replace(perm=perm, rank=rank)
+
+
+def _flimit_counts(proj: ProjectedGaussians, lam_min, sorted_gauss, tile_of,
+                   tile_start, counts_t, perm, n_tiles: int, tiles_x: int,
+                   tile: int, trunc_theta: float, trunc_c: float):
+    """Per-tile truncated counts from the proxy-transmittance rule.
+
+    Works on the depth-sorted stream: one [D,8]-row gather brings each
+    entry's (mean, lam_min, opacity) into stream order, a global cumsum of
+    log(1 - c * alpha_ub) forms the proxy log-transmittance (globally
+    non-increasing since every term is <= 0), and each tile's cut point
+    is ONE searchsorted over that monotone array — no per-entry compaction
+    pass; the smaller counts flow into the existing aligned relayout.
+    The entry that crosses the threshold is kept (the CUDA per-pixel rule
+    also includes its crossing entry). f32 cumsum rounding over millions
+    of entries can shift a cut point by O(1) entries late in the stream —
+    harmless under the quality gate. Returns (counts [T], n_cut [])."""
+    d = sorted_gauss.shape[0]
+    n = proj.means2d.shape[0]
+    # Mass bound: the Gaussian's alpha integrated over the whole plane is
+    # 2*pi*opac/sqrt(det conic), so its MEAN alpha over the tile's P
+    # pixels is at most that mass / P. The per-entry proxy alpha is
+    # min(position bound, mass bound): for wall-sized splats covering the
+    # tile the position bound ~ opac governs; for small splats the mass
+    # bound ~ coverage-weighted alpha governs (a tile-max alone
+    # over-counts small splats ~10x and truncates real content).
+    ca, cb, cc = proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2]
+    det_c = jnp.maximum(ca * cc - cb * cb, 1e-24)
+    a_mass = (2.0 * np.pi) * proj.opacity / (
+        jnp.sqrt(det_c) * float(tile * tile))
+    # [N, 8] row table (32-byte rows gather at the per-row issue-rate
+    # floor; narrower rows are NOT cheaper — SOL.md structural fact 4).
+    tab = jnp.stack([proj.means2d[:, 0], proj.means2d[:, 1], lam_min,
+                     jnp.minimum(proj.opacity, 0.99), a_mass]
+                    + [jnp.zeros((n,), jnp.float32)] * 3, axis=1)
+    if perm is not None:  # rank mode: sorted_gauss is in depth-rank space
+        tab = tab[perm]
+    rows = tab[jnp.clip(sorted_gauss, 0, n - 1)]              # [D, 8]
+    valid_e = tile_of < n_tiles                               # sorted: pad last
+    tx = jnp.where(valid_e, tile_of % tiles_x, 0)
+    ty = jnp.where(valid_e, tile_of // tiles_x, 0)
+    mx, my = rows[:, 0], rows[:, 1]
+    x0 = (tx * tile).astype(mx.dtype)
+    y0 = (ty * tile).astype(my.dtype)
+    dxe = jnp.maximum(jnp.maximum(x0 - mx, mx - (x0 + (tile - 1))), 0.0)
+    dye = jnp.maximum(jnp.maximum(y0 - my, my - (y0 + (tile - 1))), 0.0)
+    a_ub = rows[:, 3] * jnp.exp(-0.5 * rows[:, 2]
+                                * (dxe * dxe + dye * dye))
+    a_eff = jnp.minimum(a_ub, rows[:, 4])
+    s = jnp.log1p(-jnp.minimum(trunc_c * a_eff, 0.999))
+    cum = jnp.cumsum(jnp.where(valid_e, s, 0.0))              # non-increasing
+    base = jnp.where(tile_start > 0,
+                     cum[jnp.maximum(tile_start - 1, 0)], 0.0)  # [T]
+    lim = base + float(np.log(trunc_theta))
+    # First stream index whose inclusive proxy falls below the tile's
+    # threshold; monotonicity makes this a global binary search.
+    pos = jnp.searchsorted(-cum, -lim, side="right").astype(jnp.int32)
+    k_t = jnp.clip(pos - tile_start + 1, 0, counts_t)
+    return k_t, jnp.sum(counts_t - k_t)

@@ -197,25 +197,49 @@ def _seg_prefix(x, seg: _Segments):
     same owner group chain through a [P,1] carry (reset when the group
     changes). MXU work is O(P*E*Q) — linear in the grid-step width E —
     instead of the O(P*E^2) a single masked [E,E] matmul costs, which is
-    what made wide grid steps lose."""
+    what made wide grid steps lose.
+
+    Quanta finer than a 128-lane tile (q < 128) keep 128-wide MXU blocks
+    — lane slices off tile boundaries are a Mosaic relayout — with the
+    triangular mask intersected block-diagonally per quantum, and the
+    in-block quantum chain applied via masked lane selects (2 VPU passes
+    per extra sub-quantum)."""
     q = seg.q
-    s = x.shape[1] // q
-    row = jax.lax.broadcasted_iota(jnp.int32, (q, q), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (q, q), 1)
-    u = (row <= col).astype(x.dtype)
+    b = max(q, 128)                  # MXU block width (lane-tile aligned)
+    spb = b // q                     # sub-quanta per block
+    nb = x.shape[1] // b
+    row = jax.lax.broadcasted_iota(jnp.int32, (b, b), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, b), 1)
+    tri = row <= col
+    if spb > 1:
+        tri = tri & ((row // q) == (col // q))   # block-diagonal per quantum
+    u = tri.astype(x.dtype)
+    lane_b = jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
     pieces = []
     carry = None
-    for i in range(s):
+    for i in range(nb):
         cum_i = jax.lax.dot_general(
-            x[:, i * q:(i + 1) * q], u, (((1,), (0,)), ((), ())),
+            x[:, i * b:(i + 1) * b], u, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)             # [P,Q]
+            precision=jax.lax.Precision.HIGHEST)             # [P,B]
         if i > 0:
-            gate = (seg.bids[i] == seg.bids[i - 1]).astype(x.dtype)
-            cum_i = cum_i + carry * gate
+            gate = (seg.bids[i * spb]
+                    == seg.bids[i * spb - 1]).astype(x.dtype)
+            if spb > 1:   # carry feeds sub-quantum 0; the chain propagates
+                cum_i = cum_i + jnp.where(lane_b < q, carry * gate, 0.0)
+            else:
+                cum_i = cum_i + carry * gate
+        for j in range(1, spb):
+            qi = i * spb + j
+            gate = (seg.bids[qi] == seg.bids[qi - 1]).astype(x.dtype)
+            last_prev = jnp.sum(
+                jnp.where(lane_b == j * q - 1, cum_i, 0.0),
+                axis=1, keepdims=True)                       # [P,1]
+            in_j = (lane_b >= j * q) & (lane_b < (j + 1) * q)
+            cum_i = cum_i + jnp.where(in_j, gate * last_prev, 0.0)
         pieces.append(cum_i)
         carry = cum_i[:, -1:]
-    return pieces[0] if s == 1 else jnp.concatenate(pieces, axis=1)
+    return pieces[0] if nb == 1 else jnp.concatenate(pieces, axis=1)
 
 
 def _lane_roll(x, k: int):
@@ -411,7 +435,16 @@ def _fwd_kernel(owner_ref, entries_ref, out_ref, trans, term,
                 # rendering (cfg.bwd_entries == 0).
                 term_base_i = jnp.where(seg.bids[i] == 0, term_carry,
                                         jnp.zeros_like(term_carry))
-                t_end_i = t_incl[:, (i + 1) * q - 1:(i + 1) * q]
+                if q >= 128:
+                    t_end_i = t_incl[:, (i + 1) * q - 1:(i + 1) * q]
+                else:
+                    # Off-tile-boundary single-lane slices are a Mosaic
+                    # relayout; a masked reduce reads the same lane.
+                    lane_e = jax.lax.broadcasted_iota(
+                        jnp.int32, (1, t_incl.shape[1]), 1)
+                    t_end_i = jnp.sum(
+                        jnp.where(lane_e == (i + 1) * q - 1, t_incl, 0.0),
+                        axis=1, keepdims=True)
                 dead_i = jnp.maximum(
                     term_base_i,
                     (t_end_i < TRANSMITTANCE_EPS).astype(jnp.float32))
@@ -471,12 +504,25 @@ def _bwd_kernel(owner_ref, entries_ref, grads_ref, dentries_ref,
         def lane_blocked(row):
             """[P,E] whose lanes carry quantum i's [P,1] column ``row(i)``
             on quantum i's lane block — one concatenate instead of S
-            full-width where passes (bit-identical: pure placement)."""
+            full-width where passes (bit-identical: pure placement).
+            Sub-128 quanta build each 128-lane block with masked selects
+            (concats off lane-tile boundaries are a Mosaic relayout)."""
             if s == 1:
                 return jnp.broadcast_to(row(0), (p, q))
-            return jnp.concatenate(
-                [jnp.broadcast_to(row(i), (p, q)) for i in range(s)],
-                axis=1)
+            b = max(q, 128)
+            spb = b // q
+            nb = (s * q) // b
+            lane_b = jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
+            blocks = []
+            for i in range(nb):
+                acc = jnp.broadcast_to(row(i * spb), (p, b))
+                for j in range(1, spb):
+                    acc = jnp.where(lane_b >= j * q,
+                                    jnp.broadcast_to(row(i * spb + j),
+                                                     (p, b)), acc)
+                blocks.append(acc)
+            return blocks[0] if nb == 1 else jnp.concatenate(blocks,
+                                                             axis=1)
 
         g_tot = lane_blocked(lambda i: grads_ref[i][G_TOT:G_TOT + 1, :].T)
         t_fin = lane_blocked(lambda i: grads_ref[i][G_TFIN:G_TFIN + 1, :].T)

@@ -99,9 +99,18 @@ class RasterizeConfig(NamedTuple):
     gen_entries: int = 0
     # Forward-kernel post-quantum transmittance: "loop" or "batched"
     # (one masked pass + per-quantum lane slices; bit-exact — see
-    # pallas_blend._seg_trans_after_all). Requires quantum >= 128.
+    # pallas_blend._seg_trans_after_all). Requires quantum >= 128
+    # (auto-downgraded to "loop" for finer quanta).
     # "batched" won the 2026-08-19 bench self-tune at E=1024 (S=8).
     tafter_mode: str = "batched"
+    # Quality-gated per-tile depth truncation (binning.bin_gaussians_
+    # aligned trunc_theta/trunc_c): cut each tile's depth-sorted entry
+    # run once the proxy transmittance prod(1 - trunc_c * alpha_ub)
+    # drops below trunc_theta. 0 = off (exact). Lossy — promote only
+    # behind a PSNR + gradient A/B gate (bench.py races it; the trainer
+    # exposes it as runtime flags).
+    trunc_theta: float = 0.0
+    trunc_c: float = 1.0
     # Mesh axis name to shard the per-tile blend over (pixels/tiles are the
     # natural SPMD axis of splatting). Requires an ambient mesh
     # (jax.set_mesh); Gaussian/entry arrays stay replicated and XLA inserts
@@ -263,13 +272,8 @@ def blend_tiles_pallas(proj: ProjectedGaussians, height: int, width: int,
     (ops/pallas_blend.py), and composes background + untiles in XLA.
     """
     from .binning import bin_gaussians_aligned
-    from .pallas_blend import PallasBlendConfig, blend_entries
 
     tile = config.tile
-    tiles_y, tiles_x = num_tiles(height, width, tile)
-    n_tiles = tiles_y * tiles_x
-    p = tile * tile
-
     quantum = min(config.quantum, config.chunk_e)
     if config.chunk_e % quantum:
         raise ValueError(
@@ -284,7 +288,23 @@ def blend_tiles_pallas(proj: ProjectedGaussians, height: int, width: int,
                                  config.max_per_tile, quantum, tile,
                                  fill=config.binning_fill,
                                  sort_mode=config.sort_mode,
-                                 gen_entries=config.gen_entries)
+                                 gen_entries=config.gen_entries,
+                                 trunc_theta=config.trunc_theta,
+                                 trunc_c=config.trunc_c)
+    return blend_from_bins(proj, bins, height, width, bg_color, config)
+
+
+def blend_from_bins(proj: ProjectedGaussians, bins, height: int, width: int,
+                    bg_color: jnp.ndarray, config: RasterizeConfig):
+    """Pallas blend from precomputed AlignedBins (the tail of
+    blend_tiles_pallas after binning — split out so the in-context stage
+    profiler can time the pipeline from any stage boundary)."""
+    from .pallas_blend import PallasBlendConfig, blend_entries
+
+    tile = config.tile
+    tiles_y, tiles_x = num_tiles(height, width, tile)
+    n_tiles = tiles_y * tiles_x
+    quantum = min(config.quantum, config.chunk_e)
     bwd_entries = config.bwd_entries
     if bwd_entries is None:
         bwd_entries = max(config.max_entries // 2, config.chunk_e)
@@ -307,12 +327,15 @@ def blend_tiles_pallas(proj: ProjectedGaussians, height: int, width: int,
             f"bwd_chunk_e ({bwd_e}) must be a multiple of quantum "
             f"({quantum}) and divide max_entries ({config.max_entries}) "
             f"and bwd_entries ({bwd_entries})")
+    # Batched post-quantum transmittance needs lane slices on 128-lane
+    # tile boundaries; finer quanta fall back to the loop formulation.
+    tafter = config.tafter_mode if quantum >= 128 else "loop"
     pcfg = PallasBlendConfig(
         chunk_e=config.chunk_e, quantum=quantum,
         bwd_chunk_e=config.bwd_chunk_e,
         interpret=not _on_tpu(), bwd_entries=bwd_entries,
         prefix_mode=config.prefix_mode, scatter_k=config.scatter_k,
-        tafter_mode=config.tafter_mode,
+        tafter_mode=tafter,
         rows_layout=config.rows_layout)
     inv_depth = 1.0 / jnp.maximum(proj.depth, 1e-6)
     n_q_per_tile = -(-bins.tile_count // quantum)
@@ -349,8 +372,15 @@ def blend_tiles_pallas(proj: ProjectedGaussians, height: int, width: int,
     # Budget pressure = worst of raw duplicates and chunk-padded aligned
     # slots: either exceeding its buffer drops tail entries/tiles. n_raw
     # governs gen_entries; the max governs max_entries (when the budgets
-    # are unsplit the aligned stream must also hold the raw count).
-    n_need = jnp.maximum(bins.total_entries, bins.aligned_entries)
+    # are unsplit the aligned stream must also hold the raw count). With
+    # a split gen budget the aligned buffer only ever holds the relayout
+    # output — e.g. under depth truncation it is legitimately SMALLER
+    # than the raw count, and reporting the max would make the adaptive
+    # trainer grow it for nothing.
+    if config.gen_entries:
+        n_need = bins.aligned_entries
+    else:
+        n_need = jnp.maximum(bins.total_entries, bins.aligned_entries)
     return (image, invdepth, final_t, n_need, bins.n_truncated,
             bins.total_entries, n_bwd_quanta)
 

@@ -49,7 +49,9 @@ def raster_config(cfg: FullConfig) -> RasterizeConfig:
                            binning_fill=r.binning_fill,
                            tafter_mode=r.tafter_mode,
                            sort_mode=r.sort_mode,
-                           gen_entries=max(r.gen_entries, 0))
+                           gen_entries=max(r.gen_entries, 0),
+                           trunc_theta=r.trunc_theta,
+                           trunc_c=r.trunc_c)
 
 
 def _entry_bucket(n_dup: int, floor: int, cap: int) -> int:
@@ -73,7 +75,9 @@ def _entry_bucket(n_dup: int, floor: int, cap: int) -> int:
 def entry_budget_for_scene(means, scales, quats, opac, shs, camera,
                            sh_degree: int, *, max_per_tile: int = 4096,
                            floor: int = 1 << 13, cap: int = 1 << 23,
-                           quantum: int = 128, exact: bool = True) -> int:
+                           quantum: int = 128, exact: bool = True,
+                           trunc_theta: float = 0.0,
+                           trunc_c: float = 1.0) -> int:
     """Entry budget for one view of a static scene.
 
     Two binning-only probes (no blend kernel, so the compiles are cheap):
@@ -93,7 +97,7 @@ def entry_budget_for_scene(means, scales, quats, opac, shs, camera,
     _, budget = entry_budgets_for_scene(
         means, scales, quats, opac, shs, camera, sh_degree,
         max_per_tile=max_per_tile, floor=floor, cap=cap, quantum=quantum,
-        exact=exact)
+        exact=exact, trunc_theta=trunc_theta, trunc_c=trunc_c)
     return budget
 
 
@@ -113,6 +117,8 @@ def entry_budgets_for_scene(*args, **kwargs) -> tuple:
     cap = kwargs.get("cap", 1 << 23)
     quantum = kwargs.get("quantum", 128)
     exact = kwargs.get("exact", True)
+    trunc_theta = kwargs.get("trunc_theta", 0.0)
+    trunc_c = kwargs.get("trunc_c", 1.0)
 
     def need(ms, d):
         proj = project_gaussians(ms, scales, quats, opac, shs, camera,
@@ -120,7 +126,9 @@ def entry_budgets_for_scene(*args, **kwargs) -> tuple:
         bins = bin_gaussians_aligned(proj, camera.height, camera.width,
                                      max_entries=d,
                                      max_per_tile=max_per_tile,
-                                     chunk_e=quantum)
+                                     chunk_e=quantum,
+                                     trunc_theta=trunc_theta,
+                                     trunc_c=trunc_c)
         return bins.total_entries, bins.aligned_entries
 
     total = int(jax.jit(need, static_argnums=1)(means, 1 << 13)[0])

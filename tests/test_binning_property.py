@@ -286,3 +286,113 @@ def test_bwd_budget_decision_state_machine():
     mid = int(0.75 * (1 << 21)) // 128
     w5, _ = _bwd_budget_decision(mid, cfg, 3)
     assert w5 is None
+
+
+def _trunc_scene(n=400, seed=3, w=128, h=96):
+    means, scales, quats, opac, shs = random_scene(n, seed=seed,
+                                                   sh_degree=1)
+    cam = make_test_camera(width=w, height=h)
+    args = (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+            jnp.asarray(opac), jnp.asarray(shs))
+    return args, cam
+
+
+@pytest.mark.parametrize("sort_mode", ["rank", "2key"])
+def test_flimit_counts_match_oracle(sort_mode):
+    """Quality-gated per-tile depth truncation (trunc_theta): the cut
+    depth must equal a sequential numpy walk of the same proxy rule on
+    every tile, in both sort modes."""
+    theta, c = 0.01, 1.0
+    args, cam = _trunc_scene()
+    proj = project_gaussians(*args, cam, 1)
+    b0 = binning.bin_gaussians_aligned(proj, 96, 128, 1 << 14, 1024, 128,
+                                       sort_mode=sort_mode)
+    bt = binning.bin_gaussians_aligned(proj, 96, 128, 1 << 14, 1024, 128,
+                                       sort_mode=sort_mode,
+                                       trunc_theta=theta, trunc_c=c)
+    p = np.asarray(proj.means2d)
+    con = np.asarray(proj.conic)
+    op = np.asarray(proj.opacity)
+    lam = np.maximum(0.5 * (con[:, 0] + con[:, 2])
+                     - np.sqrt(0.25 * (con[:, 0] - con[:, 2]) ** 2
+                               + con[:, 1] ** 2), 1e-12)
+    det = np.maximum(con[:, 0] * con[:, 2] - con[:, 1] ** 2, 1e-24)
+    a_mass = 2.0 * np.pi * op / (np.sqrt(det) * 256.0)
+    perm = (np.asarray(bt.perm) if bt.perm is not None
+            else np.arange(p.shape[0]))
+    start0 = np.asarray(b0.tile_start)
+    cnt0 = np.asarray(b0.tile_count)
+    got = np.asarray(bt.tile_count)
+    gidx0 = np.asarray(b0.gauss_idx)
+    tiles_x = 128 // 16
+    checked = 0
+    for t in range(cnt0.shape[0]):
+        if cnt0[t] == 0:
+            assert got[t] == 0
+            continue
+        orig = perm[gidx0[start0[t]:start0[t] + cnt0[t]]]
+        x0, y0 = (t % tiles_x) * 16, (t // tiles_x) * 16
+        big_t, k = 1.0, 0
+        for gi in orig:
+            dxe = max(x0 - p[gi, 0], p[gi, 0] - (x0 + 15), 0.0)
+            dye = max(y0 - p[gi, 1], p[gi, 1] - (y0 + 15), 0.0)
+            aub = min(op[gi], 0.99) * np.exp(
+                -0.5 * lam[gi] * (dxe * dxe + dye * dye))
+            big_t *= 1.0 - min(c * min(aub, a_mass[gi]), 0.999)
+            k += 1
+            if big_t < theta:
+                break
+        # f32 cumsum rounding can move the global threshold crossing by
+        # O(1) entries (documented in _flimit_counts).
+        assert abs(int(got[t]) - k) <= 1, f"tile {t}: {got[t]} vs {k}"
+        checked += 1
+    assert checked > 20
+    assert int(bt.n_flimit) == int(np.sum(cnt0) - np.sum(got))
+
+
+def test_flimit_monotone_and_prefix():
+    """Smaller theta (or smaller c) keeps more entries; the kept set per
+    tile is exactly the depth-order PREFIX of the untruncated run (the
+    aligned layout must not re-order or skip)."""
+    args, cam = _trunc_scene()
+    proj = project_gaussians(*args, cam, 1)
+    b0 = binning.bin_gaussians_aligned(proj, 96, 128, 1 << 14, 1024, 128)
+    prev = None
+    for theta in (0.03, 0.01, 0.001):
+        bt = binning.bin_gaussians_aligned(
+            proj, 96, 128, 1 << 14, 1024, 128, trunc_theta=theta)
+        cnt = np.asarray(bt.tile_count)
+        if prev is not None:
+            assert np.all(cnt >= prev), "smaller theta must keep more"
+        prev = cnt
+        # prefix property in the aligned stream
+        s0 = np.asarray(b0.tile_start)
+        st = np.asarray(bt.tile_start)
+        g0 = np.asarray(b0.gauss_idx)
+        gt = np.asarray(bt.gauss_idx)
+        c0 = np.asarray(b0.tile_count)
+        for t in range(0, cnt.shape[0], 7):
+            k = cnt[t]
+            assert k <= c0[t]
+            np.testing.assert_array_equal(gt[st[t]:st[t] + k],
+                                          g0[s0[t]:s0[t] + k])
+    # c more conservative keeps more
+    b_c = binning.bin_gaussians_aligned(proj, 96, 128, 1 << 14, 1024, 128,
+                                        trunc_theta=0.01, trunc_c=0.3)
+    b_1 = binning.bin_gaussians_aligned(proj, 96, 128, 1 << 14, 1024, 128,
+                                        trunc_theta=0.01, trunc_c=1.0)
+    assert np.all(np.asarray(b_c.tile_count)
+                  >= np.asarray(b_1.tile_count))
+
+
+def test_flimit_off_is_exact():
+    """trunc_theta=0 must leave the binning bit-identical (same jaxpr
+    path; n_flimit stays 0)."""
+    args, cam = _trunc_scene(n=200, seed=5)
+    proj = project_gaussians(*args, cam, 1)
+    a = binning.bin_gaussians_aligned(proj, 96, 128, 1 << 13, 1024, 128)
+    b = binning.bin_gaussians_aligned(proj, 96, 128, 1 << 13, 1024, 128,
+                                      trunc_theta=0.0)
+    np.testing.assert_array_equal(np.asarray(a.gauss_idx),
+                                  np.asarray(b.gauss_idx))
+    assert int(b.n_flimit) == 0
