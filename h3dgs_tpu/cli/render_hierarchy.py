@@ -48,15 +48,16 @@ def render_set(scene, cfg, taus, out_dir: str, save_images: bool = True):
         if key not in render_jit:
             @jax.jit
             def run(cam, limit, exp):
-                return render_cut(scene.state, nodes, boxes, cam, limit,
-                                  cfg.model.sh_degree, bg, r_cfg, max_cut,
-                                  exposure=exp)["render"]
+                out = render_cut(scene.state, nodes, boxes, cam, limit,
+                                 cfg.model.sh_degree, bg, r_cfg, max_cut,
+                                 exposure=exp)
+                return out["render"], out["cut"].count
             render_jit[key] = run
         if exp is None:
             return render_jit[key](cam, limit, None)
         return render_jit[key](cam, limit, exp)
     for tau in taus:
-        psnrs, ssims, lpipss = [], [], []
+        psnrs, ssims, lpipss, cut_sizes = [], [], [], []
         tau_dir = os.path.join(out_dir, f"tau_{tau}")
         if save_images:
             os.makedirs(tau_dir, exist_ok=True)
@@ -67,9 +68,10 @@ def render_set(scene, cfg, taus, out_dir: str, save_images: bool = True):
             cam = view.camera
             limit = pixel_limit(tau, float(cam.tanfovx), cam.width)
             exp = pre_exp.get(info.image_name)
-            render = render_one(cam, jnp.asarray(limit, jnp.float32),
-                                jnp.asarray(exp) if exp is not None
-                                else None)
+            render, cut_n = render_one(cam, jnp.asarray(limit, jnp.float32),
+                                       jnp.asarray(exp) if exp is not None
+                                       else None)
+            cut_sizes.append(int(cut_n))
             img = np.asarray(render).clip(0, 1)
             gt = np.asarray(view.gt_image)
             if cfg.model.train_test_exp:  # right half only (:98-101)
@@ -93,10 +95,16 @@ def render_set(scene, cfg, taus, out_dir: str, save_images: bool = True):
                # exists the JSON says WHY instead of a bare null.
                "lpips": (float(np.mean(lpipss)) if lpipss
                          else M.LPIPS_UNAVAILABLE),
-               "n_views": len(cams)}
+               "n_views": len(cams),
+               # LOD compression evidence (VERDICT r3 item 2): the cut
+               # must actually coarsen as tau grows.
+               "cut_mean": float(np.mean(cut_sizes)),
+               "cut_min": int(np.min(cut_sizes)),
+               "cut_max": int(np.max(cut_sizes))}
         results[tau] = res
         print(f"tau={tau}: PSNR {res['psnr']:.3f} SSIM {res['ssim']:.4f} "
-              f"LPIPS {res['lpips']}", flush=True)
+              f"LPIPS {res['lpips']} cut_mean {res['cut_mean']:.0f}",
+              flush=True)
     return results
 
 

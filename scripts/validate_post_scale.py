@@ -1,0 +1,204 @@
+"""On-chip post-optimization validation at REALISTIC node counts.
+
+VERDICT r3 weak-7 / item 6: the only committed on-chip post-training
+evidence outside the city run was 200 nodes / 200 iters. This script
+builds a >= 1M-node hierarchy over the synthetic city (scripts/
+validate_city.make_city), fine-tunes it with the production post step
+(differentiable LOD interpolation, sampled granularity limits, anchor
+locking) on the real TPU, exercising the CUT-BUCKET GROWTH path (the
+bucket starts deliberately undersized and must grow on overflow), then
+runs a tau sweep on the tuned hierarchy. Writes
+chip_logs/validate_post_scale_<ts>.json.
+
+Run: PYTHONPATH=. /opt/venv/bin/python scripts/validate_post_scale.py
+Env: POST_N (leaves, default 525000 -> 1049999 nodes), POST_ITERS (300),
+POST_WH (968x544).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+N_LEAVES = int(os.environ.get("POST_N", 525_000))
+ITERS = int(os.environ.get("POST_ITERS", 300))
+W, H = (int(v) for v in os.environ.get("POST_WH", "968x544").split("x"))
+
+
+def main():
+    import jax
+    from h3dgs_tpu.utils.runtime import enable_compile_cache
+    enable_compile_cache()
+
+    import jax.numpy as jnp
+
+    from validate_city import make_city
+
+    from h3dgs_tpu.config import OptimizationConfig
+    from h3dgs_tpu.hierarchy import tree as tree_lib
+    from h3dgs_tpu.hierarchy.cut import pixel_limit
+    from h3dgs_tpu.model.init import state_from_hierarchy
+    from h3dgs_tpu.ops import adam as adam_lib
+    from h3dgs_tpu.ops.rasterize import RasterizeConfig, rasterize
+    from h3dgs_tpu.scene.camera import look_at_camera
+    from h3dgs_tpu.train.post_step import (make_post_train_step,
+                                           render_cut, sample_limit)
+    from h3dgs_tpu.train.step import ViewBatch
+    from h3dgs_tpu.utils.losses import psnr
+
+    print("backend:", jax.devices()[0].device_kind, flush=True)
+    os.environ["CITY_N"] = str(N_LEAVES)
+    import validate_city
+    validate_city.N_GT = N_LEAVES
+
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    means, scales, quats, opac, shs, _rgb = make_city(rng)
+    locked = rng.random(N_LEAVES) < 0.05
+    h = tree_lib.build_hierarchy(means, shs, opac, np.log(scales), quats,
+                                 locked_leaf_mask=locked)
+    print(f"hierarchy: {h.n_nodes} nodes ({h.n_leaves} leaves, "
+          f"{len(h.anchors)} anchors) in {time.time() - t0:.0f}s",
+          flush=True)
+    assert h.n_nodes >= 1_000_000, "scale bar: >= 1M nodes"
+    state, anchor_mask = state_from_hierarchy(h)
+
+    # Cameras: street + elevated (the sampled limits 0.005-0.1 exercise
+    # both leaf-level and coarsened cuts at these distances).
+    cams = [
+        look_at_camera(eye=(0.0, -1.5, 0.0), target=(4.0, -1.0, 0.0),
+                       fovx=1.2, width=W, height=H),
+        look_at_camera(eye=(2.0, -12.0, 4.0), target=(0.0, -1.0, 0.0),
+                       fovx=1.2, width=W, height=H),
+        look_at_camera(eye=(-3.0, -30.0, 2.0), target=(0.0, -1.0, 0.0),
+                       fovx=1.2, width=W, height=H),
+    ]
+    bg = jnp.zeros(3, jnp.float32)
+
+    # GT: leaf-level render of a color-perturbed target (something to
+    # learn), rendered once per camera.
+    tgt_shs = (shs.reshape(N_LEAVES, -1, 3)
+               + rng.normal(0, 0.15, (N_LEAVES, shs.reshape(
+                   N_LEAVES, -1, 3).shape[1], 3))).astype(np.float32)
+    from h3dgs_tpu.train.loop import entry_budget_for_scene
+    gt_args = (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+               jnp.asarray(opac), jnp.asarray(tgt_shs))
+    budget = max(entry_budget_for_scene(*gt_args, c, 0) for c in cams)
+    print(f"leaf budget {budget}", flush=True)
+    gt_cfg = RasterizeConfig(max_entries=budget, max_per_tile=4096,
+                             bwd_entries=0)
+    gts = [jnp.clip(rasterize(*gt_args, c, 0, bg,
+                              config=gt_cfg)["render"], 0, 1)
+           for c in cams]
+
+    r_cfg = RasterizeConfig(max_entries=budget, max_per_tile=4096)
+    opt_cfg = OptimizationConfig(iterations=ITERS)
+
+    # Deliberately undersized cut bucket: the loop must grow it on
+    # overflow (train/loop.py train_post semantics, replicated here).
+    max_cut = 1 << 17
+    print(f"initial cut bucket {max_cut} (n_nodes {h.n_nodes})",
+          flush=True)
+
+    def build(mc):
+        return make_post_train_step(opt_cfg, r_cfg, mc,
+                                    skybox_locked=True,
+                                    use_exposure=False)
+
+    step = build(max_cut)
+    opt = adam_lib.init(state.trainable_dict())
+    nodes = jnp.asarray(h.nodes)
+    boxes = jnp.asarray(h.boxes)
+    amask = jnp.asarray(anchor_mask)
+    exp_row = jnp.eye(3, 4)
+    anchored0 = np.asarray(state.xyz)[anchor_mask]
+
+    def batch(ci):
+        return ViewBatch(camera=cams[ci], gt_image=gts[ci],
+                         alpha_mask=jnp.ones((1, H, W)),
+                         invdepth=jnp.zeros((1, H, W)),
+                         depth_mask=jnp.zeros((1, H, W)),
+                         depth_reliable=jnp.asarray(False),
+                         image_idx=jnp.asarray(0, jnp.int32))
+
+    key = jax.random.PRNGKey(0)
+    losses, growths = [], []
+    t0 = time.time()
+    for it in range(ITERS):
+        key, k1 = jax.random.split(key)
+        limit = sample_limit(k1)
+        out = step(state, opt, batch(it % len(cams)), nodes, boxes, amask,
+                   exp_row, limit, jnp.asarray(float(it + 1)), bg,
+                   jnp.asarray(8.0), 1)
+        state, opt = out.state, out.opt
+        losses.append(float(out.photo_loss))
+        cut = int(out.cut_size)
+        if cut > max_cut:
+            new_mc = max_cut
+            while new_mc < min(cut, h.n_nodes):
+                new_mc *= 2
+            new_mc = min(new_mc, h.n_nodes)
+            growths.append((it, max_cut, new_mc, cut))
+            print(f"[{it}] CUT-OVERFLOW {cut} > {max_cut}: bucket -> "
+                  f"{new_mc}", flush=True)
+            max_cut = new_mc
+            step = build(max_cut)
+        if it % 50 == 0 or it == ITERS - 1:
+            print(f"[{it}] loss={losses[-1]:.5f} cut={cut} "
+                  f"({time.time() - t0:.0f}s, "
+                  f"{(it + 1) / max(time.time() - t0, 1e-9):.2f} it/s)",
+                  flush=True)
+
+    early, late = np.mean(losses[:25]), np.mean(losses[-25:])
+    frozen = np.array_equal(np.asarray(state.xyz)[anchor_mask], anchored0)
+
+    # Tau sweep on the TUNED hierarchy (elevated camera): cut sizes must
+    # coarsen and quality degrade gracefully.
+    params = state.trainable_dict()
+
+    @jax.jit
+    def sweep_render(lim):
+        return render_cut(state, nodes, boxes, cams[2], lim, 1, bg,
+                          r_cfg, max_cut, params=params)
+
+    sweep = []
+    for tau in (0.0, 3.0, 6.0, 15.0):
+        limit = pixel_limit(tau, float(cams[2].tanfovx), W)
+        out = sweep_render(jnp.asarray(limit, jnp.float32))
+        img = jnp.clip(out["render"], 0, 1)
+        sweep.append({"tau": tau, "cut": int(out["cut"].count),
+                      "psnr_vs_gt": float(psnr(img, gts[2]))})
+        print(f"tau={tau}: cut={sweep[-1]['cut']} "
+              f"psnr={sweep[-1]['psnr_vs_gt']:.2f}", flush=True)
+
+    ok = (late < 0.8 * early and frozen and len(growths) > 0
+          and sweep[-1]["cut"] < 0.5 * sweep[0]["cut"])
+    result = {
+        "n_nodes": int(h.n_nodes), "n_leaves": int(h.n_leaves),
+        "iters": ITERS, "wh": [W, H],
+        "loss_early": float(early), "loss_late": float(late),
+        "anchors_frozen": bool(frozen),
+        "cut_bucket_growths": [list(g) for g in growths],
+        "tau_sweep": sweep,
+        "ok": bool(ok),
+    }
+    ts = time.strftime("%Y%m%dT%H%M%SZ", time.gmtime())
+    out_path = os.path.join(REPO, "chip_logs",
+                            f"validate_post_scale_{ts}.json")
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result, indent=2), flush=True)
+    print(f"-> {out_path}  ({'OK' if ok else 'FAILED'})", flush=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
