@@ -7,6 +7,16 @@ w.r.t. all Gaussian parameters) at 1920x1080 on a synthetic scene of
 N_GAUSS Gaussians — the BASELINE.json north-star number. Uses the Pallas
 blend kernel on TPU (ops/pallas_blend.py).
 
+Cold-reproducibility (VERDICT r3 item 4): the PROMOTED defaults are
+measured FIRST and reported as the metric — `python bench.py` cold gives
+the number of record. The promoted profile is deterministic: exact
+entry budgets probed for this scene (the sizing policy the trainer's
+probes use), RasterizeConfig defaults for every kernel/glue knob, plus
+the round-4 quality-gated depth truncation whose PSNR/grad gate runs
+in-bench and falls back to the exact configuration if it fails on this
+scene. Exploratory self-tuning only runs with BENCH_TUNE=1 and never
+changes the reported metric.
+
 Timing notes for the axon (tunneled TPU) backend: block_until_ready is
 unreliable and repeated identical calls can be cached, so each iteration
 perturbs an input and the loop syncs once at the end through a scalar
@@ -22,11 +32,11 @@ available.
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
-
-import os
 
 BASELINE_MPIX_S = 45.0
 # Env overrides let CI/smoke runs shrink the workload (same code path).
@@ -34,10 +44,17 @@ N_GAUSS = int(os.environ.get("BENCH_N_GAUSS", 200_000))
 WIDTH = int(os.environ.get("BENCH_WIDTH", 1920))
 HEIGHT = int(os.environ.get("BENCH_HEIGHT", 1080))
 ITERS = int(os.environ.get("BENCH_ITERS", 10))
-# Wall budget for the self-tuning stages: compiles are 20-300 s each on
-# a cold cache and the driver may kill a silent bench — skip remaining
-# tuning stages once exceeded so the final measurement ALWAYS lands.
-TUNE_BUDGET_S = float(os.environ.get("BENCH_TUNE_BUDGET_S", 1200))
+
+# --- promoted round-4 profile (set from scripts/ab_r04.py results) ---
+# Quality-gated per-tile depth truncation: verified in-bench each run
+# (PSNR vs the exact render must clear the gate, else the exact config
+# is measured instead and the fallback is printed).
+TRUNC_THETA = float(os.environ.get("BENCH_TRUNC_THETA", "0"))
+TRUNC_C = float(os.environ.get("BENCH_TRUNC_C", "1.0"))
+QUANTUM = int(os.environ.get("BENCH_QUANTUM", "128"))
+CHUNK_E = int(os.environ.get("BENCH_CHUNK_E", "512"))
+PSNR_GATE_DB = float(os.environ.get("BENCH_PSNR_GATE", "55"))
+GRAD_COS_GATE = float(os.environ.get("BENCH_GRAD_COS_GATE", "0.999"))
 
 
 def main():
@@ -47,7 +64,6 @@ def main():
     # driver. Skipped when another platform is forced.
     if not os.environ.get("BENCH_PLATFORM"):
         import subprocess
-        import sys
         try:
             subprocess.run(
                 [sys.executable, "-c", "import jax; jax.devices()"],
@@ -71,6 +87,7 @@ def main():
 
     from h3dgs_tpu.ops.rasterize import RasterizeConfig, rasterize
     from h3dgs_tpu.scene.camera import look_at_camera
+    from h3dgs_tpu.train.loop import entry_budgets_for_scene
     from h3dgs_tpu.utils.losses import photometric_loss
     from h3dgs_tpu.utils.sh import rgb_to_sh
 
@@ -87,23 +104,24 @@ def main():
 
     cam = look_at_camera(eye=(0.0, -1.0, -6.0), target=(0, 0, 0), fovx=1.2,
                          width=WIDTH, height=HEIGHT)
-    # Budgets sized exactly as the adaptive trainer would (see
-    # entry_budgets_for_scene: exact two-probe need measurement + the
-    # trainer's quarter-ladder buckets, split gen/aligned).
-    from h3dgs_tpu.train.loop import entry_budgets_for_scene
-
-    gen_budget, budget = entry_budgets_for_scene(
-        jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
-        jnp.asarray(opac), jnp.asarray(shs), cam, 3)
-    import sys
-    print(f"  budget {budget} (gen {gen_budget})", file=sys.stderr,
-          flush=True)
-    base = RasterizeConfig(max_entries=budget, max_per_tile=4096,
-                           chunk_e=512, quantum=128)
-    bg = jnp.zeros(3, jnp.float32)
     params = (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
               jnp.asarray(opac), jnp.asarray(shs))
+    bg = jnp.zeros(3, jnp.float32)
     target = jnp.zeros((3, HEIGHT, WIDTH), jnp.float32) + 0.3
+
+    def cfg_for(quantum, chunk_e, theta, c):
+        """Exact budgets probed at the setting (the trainer's own sizing
+        policy for static scenes); gen/aligned split whenever they
+        differ (under truncation the aligned stream is SMALLER)."""
+        gen_b, max_b = entry_budgets_for_scene(
+            *params, cam, 3, quantum=quantum, trunc_theta=theta,
+            trunc_c=c)
+        print(f"  budgets Q={quantum} theta={theta}: gen={gen_b} "
+              f"max={max_b}", file=sys.stderr, flush=True)
+        return RasterizeConfig(
+            max_entries=max_b, max_per_tile=4096, chunk_e=chunk_e,
+            quantum=quantum, gen_entries=gen_b if gen_b != max_b else 0,
+            trunc_theta=theta, trunc_c=c)
 
     def make_step(cfg):
         @jax.jit
@@ -116,8 +134,7 @@ def main():
 
             grads = jax.grad(loss_fn)(params)
             # Probe scalar: sum of |g| — positive terms, so legitimate
-            # accumulation-order noise between kernel configs (e.g. the
-            # asymmetric-width backward regroups its matmuls) stays a
+            # accumulation-order noise between kernel configs stays a
             # ~1e-6 relative perturbation instead of being amplified by
             # cancellation in a signed sum.
             return sum(jnp.sum(jnp.abs(g)) for g in grads)
@@ -137,141 +154,75 @@ def main():
         float(outs[-1])   # one device stream: last done => all done
         return (time.perf_counter() - t0) / iters, ref
 
-    # Self-tuning: the kernel levers are scene-dependent; pick the
-    # fastest combo in-run (same honest timing, compile cached), then
-    # measure the full ITERS with the winner. Every stage applies the
-    # same correctness gate: identical inputs (warm salt 0.0) must give
-    # the same gradient-magnitude probe on every candidate — a fast-but-
-    # miscompiled executable (this backend has produced
-    # executable-specific miscompiles before) must never win on speed.
-    import sys
+    def render_and_grads(cfg):
+        @jax.jit
+        def f(p):
+            def loss(m):
+                out = rasterize(m, p[1], p[2], p[3], p[4], cam, 3, bg,
+                                config=cfg)
+                return photometric_loss(out["render"], target), \
+                    out["render"]
+            (l, img), g = jax.value_and_grad(loss, has_aux=True)(p[0])
+            return jnp.clip(img, 0, 1), g
+        img, g = f(params)
+        return np.asarray(img), np.asarray(g)
 
-    salt_base = [0.0]
-    tune_start = time.perf_counter()
-
-    def run_stage(title, configs, ref_name, fallback_cfg):
-        """Time candidates, exclude grad-probe mismatches vs ref_name,
-        return the fastest survivor (fallback_cfg if everything fails OR
-        the reference itself failed — without a reference probe nothing
-        is verified, so nothing may be promoted)."""
-        if time.perf_counter() - tune_start > TUNE_BUDGET_S:
-            print(f"  {title}: tuning budget exhausted — skipped",
+    # --- promoted defaults, quality-gated when truncation is on ---
+    cfg = cfg_for(QUANTUM, CHUNK_E, TRUNC_THETA, TRUNC_C)
+    if TRUNC_THETA > 0:
+        exact_cfg = cfg_for(QUANTUM, CHUNK_E, 0.0, 1.0)
+        img_e, g_e = render_and_grads(exact_cfg)
+        img_t, g_t = render_and_grads(cfg)
+        mse = float(np.mean((img_t - img_e) ** 2))
+        psnr = -10.0 * np.log10(max(mse, 1e-12))
+        cos = float((g_t * g_e).sum()) / (
+            (np.linalg.norm(g_t) + 1e-12)
+            * (np.linalg.norm(g_e) + 1e-12))
+        print(f"  trunc gate: psnr={psnr:.1f} dB grad_cos={cos:.6f}",
+              file=sys.stderr, flush=True)
+        if psnr < PSNR_GATE_DB or cos < GRAD_COS_GATE:
+            print(f"  trunc gate FAILED on this scene (need "
+                  f">={PSNR_GATE_DB} dB, cos>={GRAD_COS_GATE}) — "
+                  "measuring the exact configuration instead",
                   file=sys.stderr, flush=True)
-            return fallback_cfg
-        salt_base[0] += 1e-2
-        times, probes = {}, {}
-        for k, (name, cfg) in enumerate(configs.items()):
-            try:
-                times[name], probes[name] = timed(
-                    make_step(cfg), 3, salt0=salt_base[0] + 1e-4 * (k + 1))
-                print(f"  {name}: {times[name] * 1e3:.2f} ms "
-                      f"probe={probes[name]:.6f}", file=sys.stderr,
-                      flush=True)
-            except Exception as ex:
-                print(f"  {name}: failed ({type(ex).__name__})",
-                      file=sys.stderr, flush=True)
-        ref_probe = probes.get(ref_name)
-        if ref_probe is None:
-            print(f"  {title}: reference '{ref_name}' failed — stage "
-                  "skipped (no unverified promotion)", file=sys.stderr,
-                  flush=True)
-            return fallback_cfg
-        for name in list(times):
-            if abs(probes[name] - ref_probe) > 1e-4 * max(abs(ref_probe),
-                                                          1e-3):
-                print(f"  {name}: GRAD-PROBE MISMATCH vs {ref_name} "
-                      f"({probes[name]} != {ref_probe}) — excluded",
-                      file=sys.stderr, flush=True)
-                del times[name]
-        best = min(times, key=times.get)
-        print(f"  {title} winner: {best}", file=sys.stderr, flush=True)
-        return configs[best]
+            cfg = exact_cfg
 
-    # Stage 1: backward truncation x prefix mode. The truncation budget is
-    # sized from a measured survivor-quanta probe: the blind auto budget
-    # (max_entries // 2) can sit just UNDER the survivor count, making
-    # every step pay the compaction and then fall back to the full
-    # stream — the 2026-08-19 A/B loss of bwd=auto was exactly that.
-    stage1 = {
-        "bwd=0,mxu": base._replace(bwd_entries=0, prefix_mode="mxu"),
-        "bwd=auto,mxu": base._replace(bwd_entries=None, prefix_mode="mxu"),
-        "bwd=0,roll": base._replace(bwd_entries=0, prefix_mode="roll"),
-    }
-    try:
-        from h3dgs_tpu.train.loop import bwd_entries_for_scene
-        bwd_probe = bwd_entries_for_scene(*params, cam, 3, config=base)
-        print(f"  bwd survivor probe -> bwd_entries={bwd_probe}",
-              file=sys.stderr, flush=True)
-        if bwd_probe:
-            stage1["bwd=probe,mxu"] = base._replace(
-                bwd_entries=bwd_probe, prefix_mode="mxu")
-    except Exception as ex:
-        print(f"  bwd survivor probe failed ({type(ex).__name__})",
-              file=sys.stderr, flush=True)
-    best_cfg = run_stage("stage-1", stage1, ref_name="bwd=0,mxu",
-                         fallback_cfg=base._replace(bwd_entries=0,
-                                                    prefix_mode="mxu"))
-
-    # Stage 2: grid-step width at the winning flags. A wide forward pairs
-    # with a narrower backward (bwd_chunk_e): the backward kernel's VMEM
-    # scope is ~2x the forward's.
-    if best_cfg.max_entries % 1024 == 0:
-        best_cfg = run_stage("stage-2", {
-            "E=asis": best_cfg,
-            "E1024/bwd512": best_cfg._replace(chunk_e=1024,
-                                              bwd_chunk_e=512),
-            "E1024/bwd256": best_cfg._replace(chunk_e=1024,
-                                              bwd_chunk_e=256),
-            # Full-width backward: OOM'd Mosaic's 16M scoped VMEM by 1.57M
-            # before the 2026-08-19 kernel pass-reductions freed several
-            # [P,E] temporaries — raced again now; run_stage tolerates a
-            # compile failure.
-            "E1024/bwd1024": best_cfg._replace(chunk_e=1024,
-                                               bwd_chunk_e=1024),
-        }, ref_name="E=asis", fallback_cfg=best_cfg)
-
-    # Stage 2q: alignment quantum 256 at ITS OWN honestly-probed budget
-    # (coarser alignment pads the stream more, so racing it at the Q=128
-    # budget would either overflow or flatter it). Q=256 won the
-    # 2026-08-18 fixed-budget A/B by ~3 ms (ab_r02: 127.1 vs 130.6).
-    try:
-        gen256, budget256 = entry_budgets_for_scene(
-            *params, cam, 3, quantum=256)
-        print(f"  Q=256 budget {budget256} (gen {gen256})", file=sys.stderr,
-              flush=True)
-        if budget256 % best_cfg.chunk_e == 0:
-            best_cfg = run_stage("stage-2q", {
-                "Q=asis": best_cfg,
-                "Q=256": best_cfg._replace(quantum=256,
-                                           max_entries=budget256),
-            }, ref_name="Q=asis", fallback_cfg=best_cfg)
-    except Exception as ex:
-        print(f"  stage-2q probe failed ({type(ex).__name__})",
-              file=sys.stderr, flush=True)
-
-    # Stage 3: glue-op alternatives (bit-exact vs the defaults — see
-    # tests — so this is purely a timing race): binning fill, sort mode,
-    # batched post-quantum transmittance, unsplit gen budget.
-    stage3 = {
-        "glue=default": best_cfg,
-        "fill=gather": best_cfg._replace(binning_fill="gather"),
-        "sort=2key": best_cfg._replace(sort_mode="2key"),
-        "gen=split": best_cfg._replace(gen_entries=gen_budget),
-    }
-    if best_cfg.quantum >= 128:
-        stage3["tafter=batched"] = best_cfg._replace(tafter_mode="batched")
-    best_cfg = run_stage("stage-3", stage3, ref_name="glue=default",
-                         fallback_cfg=best_cfg)
-
-    dt, _ = timed(make_step(best_cfg), ITERS, salt0=0.5)
-
+    dt, _ = timed(make_step(cfg), ITERS, salt0=0.5)
     mpix_s = (WIDTH * HEIGHT / 1e6) / dt
+    print(f"  defaults: {dt * 1e3:.2f} ms = {mpix_s:.2f} Mpix/s "
+          f"(cfg: Q={cfg.quantum} E={cfg.chunk_e} "
+          f"trunc={cfg.trunc_theta})", file=sys.stderr, flush=True)
+
     print(json.dumps({
         "metric": "rasterizer_fwd_bwd_1080p",
         "value": round(mpix_s, 3),
         "unit": "Mpix/s/chip",
         "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 4),
     }))
+
+    # --- optional exploratory tuning: stderr only, never the metric ---
+    if os.environ.get("BENCH_TUNE"):
+        salt = [1.0]
+
+        def race(label, c):
+            try:
+                salt[0] += 1e-2
+                d, probe = timed(make_step(c), 3, salt0=salt[0])
+                print(f"  tune {label}: {d * 1e3:.2f} ms "
+                      f"probe={probe:.6f}", file=sys.stderr, flush=True)
+            except Exception as ex:
+                print(f"  tune {label}: failed ({type(ex).__name__})",
+                      file=sys.stderr, flush=True)
+
+        race("bwd=auto", cfg._replace(bwd_entries=None))
+        race("prefix=roll", cfg._replace(prefix_mode="roll"))
+        if cfg.max_entries % 1024 == 0:
+            race("E1024/bwd512", cfg._replace(chunk_e=1024,
+                                              bwd_chunk_e=512))
+        for q in (128, 64, 32):
+            if q != cfg.quantum:
+                race(f"Q={q}", cfg_for(q, min(CHUNK_E, 512),
+                                       cfg.trunc_theta, cfg.trunc_c))
 
 
 if __name__ == "__main__":

@@ -94,11 +94,13 @@ def entry_budget_for_scene(means, scales, quats, opac, shs, camera,
     every D-proportional cost scales with the *budget*, so an oversized
     buffer understates throughput and an undersized one silently drops
     tail tiles (inflating it)."""
-    _, budget = entry_budgets_for_scene(
+    gen, budget = entry_budgets_for_scene(
         means, scales, quats, opac, shs, camera, sh_degree,
         max_per_tile=max_per_tile, floor=floor, cap=cap, quantum=quantum,
         exact=exact, trunc_theta=trunc_theta, trunc_c=trunc_c)
-    return budget
+    # Single unsplit buffer: must hold both the raw generation stream and
+    # the aligned relayout output.
+    return max(gen, budget)
 
 
 def entry_budgets_for_scene(*args, **kwargs) -> tuple:
@@ -134,15 +136,18 @@ def entry_budgets_for_scene(*args, **kwargs) -> tuple:
     total = int(jax.jit(need, static_argnums=1)(means, 1 << 13)[0])
     d2 = min(-(-max(total, 1) // 1024) * 1024, cap)
     total2, aligned = map(int, jax.jit(need, static_argnums=1)(means, d2))
+    # SPLIT semantics: gen must hold the RAW duplicate count, max only
+    # the aligned relayout output — under depth truncation the aligned
+    # stream is legitimately SMALLER than raw, and sizing max to the raw
+    # count (the old max()) forfeits the truncation's D-shrink on every
+    # post-relayout op. Unsplit callers (entry_budget_for_scene) take
+    # max(gen, max) themselves.
     if exact:
         def rnd(v):
             return min(max(-(-v // 2048) * 2048, floor), cap)
-        budget = rnd(max(total2, aligned))
-        gen = min(rnd(total2), budget)
-        return gen, budget
-    budget = -(-_entry_bucket(max(total2, aligned), floor, cap)
-               // 1024) * 1024
-    gen = min(_entry_bucket(total2, floor, cap), budget)
+        return rnd(total2), rnd(aligned)
+    budget = -(-_entry_bucket(aligned, floor, cap) // 1024) * 1024
+    gen = -(-_entry_bucket(total2, floor, cap) // 1024) * 1024
     return gen, budget
 
 

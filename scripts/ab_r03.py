@@ -75,8 +75,11 @@ def time_cfg(params, cam, cfg, iters, label, salt0=0.0):
         l, g = jax.value_and_grad(loss)(means)
         return l + jnp.sum(g * 1e-12)
 
-    acc = step(params, jnp.float32(0.0))
-    acc.block_until_ready()
+    # Scalar fetch, NOT block_until_ready: on the axon backend the latter
+    # can return while the compile is still in flight, so the first timed
+    # config of a run measured compile tail (ab_r04: 1366 ms for a 97 ms
+    # step). float() of the probe is a real value round-trip.
+    float(step(params, jnp.float32(0.0)))
     t0 = time.perf_counter()
     accs = []
     for i in range(iters):
