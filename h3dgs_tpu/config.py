@@ -128,11 +128,11 @@ class RuntimeConfig:
     sort_mode: str = "rank"
     # Generation-side entry budget (0 = max_entries; -1 = adaptive split
     # driven by the observed raw duplicate count when adaptive_entries).
-    # Default off: the 2026-08-19 on-chip probe measured the split
-    # slightly SLOWER (27.8 vs 26.2 ms binning at the bench point) — the
-    # D-proportional generation ops fuse well enough that the smaller
-    # buffer buys nothing.
-    gen_entries: int = 0
+    # Default adaptive: at round-4's exact budgets the split measured
+    # FASTER (93.9 vs 95.3 ms full step, ab_r04c 2026-08-19) — the r3
+    # "split slower" finding was an artifact of bucketed budgets where
+    # gen and aligned landed on the same rung.
+    gen_entries: int = -1
     # Quality-gated per-tile depth truncation (ops/binning
     # bin_gaussians_aligned trunc_theta/trunc_c): cut each tile's
     # depth-sorted run once the proxy transmittance falls below theta.
