@@ -208,8 +208,31 @@ def main(iters: int = 5000):
                 step = build(r_cfg)
                 print(f"  entry budget -> {want}", flush=True)
 
+    # Environment-independent step-time A/B (VERDICT r3 weak-8): the
+    # loop's it/s is per-dispatch-latency-bound on the tunnel and varies
+    # by session; this times the SAME jitted step at the final shapes,
+    # dispatched back-to-back with ONE scalar sync — comparable
+    # round-over-round.
+    n_ab = 10
+    probe = step(st, opt, exposure, exp_opt, batch_for(0),
+                 jnp.asarray(float(iters + 1)), bg, spatial, extent, 0)
+    float(probe.photo_loss)
+    st_t, opt_t = probe.state, probe.opt
+    exp_t, eo_t = probe.exposure, probe.exposure_opt
+    t0 = time.time()
+    for i in range(n_ab):
+        out = step(st_t, opt_t, exp_t, eo_t, batch_for(i),
+                   jnp.asarray(float(iters + 2 + i)), bg, spatial,
+                   extent, 0)
+        st_t, opt_t = out.state, out.opt
+        exp_t, eo_t = out.exposure, out.exposure_opt
+    float(out.photo_loss)
+    step_ms = (time.time() - t0) / n_ab * 1e3
+    print(f"A/B step time at final shapes: {step_ms:.2f} ms", flush=True)
+
     final_psnr = log["psnr"][-1]["psnr"]
     result = {
+        "ab_step_ms": round(step_ms, 2),
         "device": str(dev.device_kind),
         "resolution": [h, w],
         "n_init": n0, "capacity": capacity,
