@@ -149,11 +149,22 @@ def main(iters=10):
         l, g = jax.value_and_grad(loss)(co + salt)
         return l + jnp.sum(g) * 1e-12
 
+    img0 = jax.jit(lambda: PB._combine_chunks(
+        chunk_out, bins.owner, last_chunk, n_tiles)[:, 0:3, :].reshape(
+        tiles_y, tiles_x, 3, 16, 16).transpose(2, 0, 3, 1, 4).reshape(
+        3, tiles_y * 16, tiles_x * 16)[:, :HEIGHT, :WIDTH])()
+
+    def t_loss(img, salt):
+        l, g = jax.value_and_grad(
+            lambda im: photometric_loss(im, target))(img + salt)
+        return l + jnp.sum(g) * 1e-12
+
     print("tails (fwd+bwd from stage boundary):", flush=True)
     dt_full = timed("FULL step (from params)", t_full, params)
     dt_proj = timed("from projection", t_proj, proj)
     dt_bins = timed("from binning", t_bins, proj, bins)
     dt_comb = timed("from kernel output (combine+loss)", t_comb, chunk_out)
+    dt_loss = timed("from image (loss only)", t_loss, img0)
 
     # --- standalone sub-pieces of the pack+kernel+scatter marginal ---
     print("standalone sub-pieces (own dispatch):", flush=True)
@@ -203,7 +214,8 @@ def main(iters=10):
                   ("bwd kernel", dt_kb), ("scatter", dt_sc)):
         print(f"    ~ {nm:20s} {m_blend * v / sub * 1e3:8.2f} ms "
               f"(standalone {v * 1e3:.2f})", flush=True)
-    print(f"  combine+loss fwd+bwd    {dt_comb * 1e3:8.2f} ms", flush=True)
+    print(f"  combine+loss fwd+bwd    {dt_comb * 1e3:8.2f} ms "
+          f"(loss-only tail {dt_loss * 1e3:.2f})", flush=True)
     print(f"  TOTAL                   {dt_full * 1e3:8.2f} ms "
           f"({WIDTH * HEIGHT / dt_full / 1e6:.2f} Mpix/s)", flush=True)
 
