@@ -43,7 +43,7 @@ BASELINE_MPIX_S = 45.0
 N_GAUSS = int(os.environ.get("BENCH_N_GAUSS", 200_000))
 WIDTH = int(os.environ.get("BENCH_WIDTH", 1920))
 HEIGHT = int(os.environ.get("BENCH_HEIGHT", 1080))
-ITERS = int(os.environ.get("BENCH_ITERS", 10))
+ITERS = int(os.environ.get("BENCH_ITERS", 20))
 
 # --- promoted round-4 profile (set from scripts/ab_r04.py results) ---
 # Quality-gated per-tile depth truncation: verified in-bench each run
