@@ -84,3 +84,9 @@ def test_dp_step_matches_vmapped():
     np.testing.assert_allclose(np.asarray(out_dp.exposure),
                                np.asarray(out_vm.exposure), atol=1e-6)
     assert int(out_dp.n_visible) == int(out_vm.n_visible)
+    # ADVICE r3: n_bwd_quanta must be plumbed through the DP step so the
+    # adaptive bwd budget (-2) can engage under data parallelism. The
+    # XLA blend path reports -1 (not tracked) — the field must exist and
+    # agree, not silently default.
+    assert out_dp.n_bwd_quanta is not None
+    assert int(out_dp.n_bwd_quanta) == int(out_vm.n_bwd_quanta)
