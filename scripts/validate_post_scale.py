@@ -90,7 +90,20 @@ def main():
     from h3dgs_tpu.train.loop import entry_budget_for_scene
     gt_args = (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
                jnp.asarray(opac), jnp.asarray(tgt_shs))
-    budget = max(entry_budget_for_scene(*gt_args, c, 0) for c in cams)
+
+    def probe_with_retry(c, tries=3):
+        # One flaky tunnel remote_compile response must not kill a long
+        # validation (observed: "response body closed before all bytes").
+        for t in range(tries):
+            try:
+                return entry_budget_for_scene(*gt_args, c, 0)
+            except Exception as ex:
+                print(f"budget probe retry {t + 1}: "
+                      f"{type(ex).__name__}: {str(ex)[:100]}", flush=True)
+                time.sleep(5)
+        return entry_budget_for_scene(*gt_args, c, 0)
+
+    budget = max(probe_with_retry(c) for c in cams)
     print(f"leaf budget {budget}", flush=True)
     gt_cfg = RasterizeConfig(max_entries=budget, max_per_tile=4096,
                              bwd_entries=0)
