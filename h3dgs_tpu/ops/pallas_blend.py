@@ -123,8 +123,8 @@ class PallasBlendConfig(NamedTuple):
     # Post-quantum transmittance computation in the forward kernel:
     # "loop" (2 full-width passes per quantum) or "batched" (one masked
     # pass + per-quantum lane slices; bit-equal, see
-    # _seg_trans_after_all). Lane slices land on Q boundaries, so keep
-    # "loop" for quanta narrower than a lane tile (q < 128).
+    # _seg_trans_after_all — sub-128 quanta use masked [P,128] block
+    # reduces instead of off-boundary lane slices).
     tafter_mode: str = "loop"
     # Entry-stream layout at the kernel boundary: False = [16, D]
     # (attributes on sublanes; XLA transposes the packed rows), True =
@@ -340,12 +340,31 @@ def _seg_trans_after_all(seg: _Segments, live, t_incl, t_carry):
     {live & lane < (i+1)q & same group} decomposes into whole quanta —
     its min equals min(default, running same-group min of per-quantum
     live-mins). The default participates unconditionally in both forms
-    (the loop's where() places it on every unselected lane)."""
+    (the loop's where() places it on every unselected lane).
+
+    Sub-128 quanta (q < 128): lane slices off tile boundaries are a
+    Mosaic relayout, so each 128-lane block is sliced once and its spb
+    sub-quantum mins come from masked [P,128] reduces — S passes of
+    [P,128] instead of the loop's 2S full-width [P,E] passes (the
+    overhead that made Q=64 lose its padding win, SOL.md round-4
+    fact 9)."""
     q = seg.q
     s = t_incl.shape[1] // q
     w = jnp.where(live, t_incl, jnp.inf)
-    mins = [jnp.min(w[:, i * q:(i + 1) * q], axis=1, keepdims=True)
-            for i in range(s)]
+    if q >= 128:
+        mins = [jnp.min(w[:, i * q:(i + 1) * q], axis=1, keepdims=True)
+                for i in range(s)]
+    else:
+        b = 128
+        spb = b // q
+        lane_b = jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
+        mins = []
+        for blk in range(t_incl.shape[1] // b):
+            wb = w[:, blk * b:(blk + 1) * b]
+            for j in range(spb):
+                in_j = (lane_b >= j * q) & (lane_b < (j + 1) * q)
+                mins.append(jnp.min(jnp.where(in_j, wb, jnp.inf),
+                                    axis=1, keepdims=True))
     outs = []
     run = mins[0]
     for i in range(s):
@@ -439,11 +458,16 @@ def _fwd_kernel(owner_ref, entries_ref, out_ref, trans, term,
                     t_end_i = t_incl[:, (i + 1) * q - 1:(i + 1) * q]
                 else:
                     # Off-tile-boundary single-lane slices are a Mosaic
-                    # relayout; a masked reduce reads the same lane.
-                    lane_e = jax.lax.broadcasted_iota(
-                        jnp.int32, (1, t_incl.shape[1]), 1)
+                    # relayout; a masked reduce over the lane's 128-lane
+                    # BLOCK (a boundary slice) reads the same element at
+                    # 1/(E/128) the VPU work of a full-width pass.
+                    last = (i + 1) * q - 1
+                    blk = last // 128
+                    tb = t_incl[:, blk * 128:(blk + 1) * 128]
+                    lane_b = jax.lax.broadcasted_iota(
+                        jnp.int32, (1, 128), 1)
                     t_end_i = jnp.sum(
-                        jnp.where(lane_e == (i + 1) * q - 1, t_incl, 0.0),
+                        jnp.where(lane_b == last % 128, tb, 0.0),
                         axis=1, keepdims=True)
                 dead_i = jnp.maximum(
                     term_base_i,

@@ -99,9 +99,9 @@ class RasterizeConfig(NamedTuple):
     gen_entries: int = 0
     # Forward-kernel post-quantum transmittance: "loop" or "batched"
     # (one masked pass + per-quantum lane slices; bit-exact — see
-    # pallas_blend._seg_trans_after_all). Requires quantum >= 128
-    # (auto-downgraded to "loop" for finer quanta).
-    # "batched" won the 2026-08-19 bench self-tune at E=1024 (S=8).
+    # pallas_blend._seg_trans_after_all; sub-128 quanta use masked
+    # [P,128] block reduces). "batched" won the 2026-08-19 bench
+    # self-tune at E=1024 (S=8).
     tafter_mode: str = "batched"
     # Quality-gated per-tile depth truncation (binning.bin_gaussians_
     # aligned trunc_theta/trunc_c): cut each tile's depth-sorted entry
@@ -279,6 +279,12 @@ def blend_tiles_pallas(proj: ProjectedGaussians, height: int, width: int,
         raise ValueError(
             f"chunk_e ({config.chunk_e}) must be a multiple of quantum "
             f"({quantum})")
+    if quantum < 128 and 128 % quantum:
+        raise ValueError(
+            f"quantum ({quantum}) below a 128-lane tile must divide 128 "
+            "— the kernel's sub-quantum machinery (block-diagonal MXU "
+            "prefix, masked block reduces) assumes whole sub-quanta per "
+            "lane tile")
     if config.max_entries % config.chunk_e:
         raise ValueError(
             f"max_entries ({config.max_entries}) must be a multiple of "
@@ -327,9 +333,7 @@ def blend_from_bins(proj: ProjectedGaussians, bins, height: int, width: int,
             f"bwd_chunk_e ({bwd_e}) must be a multiple of quantum "
             f"({quantum}) and divide max_entries ({config.max_entries}) "
             f"and bwd_entries ({bwd_entries})")
-    # Batched post-quantum transmittance needs lane slices on 128-lane
-    # tile boundaries; finer quanta fall back to the loop formulation.
-    tafter = config.tafter_mode if quantum >= 128 else "loop"
+    tafter = config.tafter_mode
     pcfg = PallasBlendConfig(
         chunk_e=config.chunk_e, quantum=quantum,
         bwd_chunk_e=config.bwd_chunk_e,

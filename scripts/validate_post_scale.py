@@ -176,15 +176,20 @@ def main():
     # coarsen and quality degrade gracefully.
     params = state.trainable_dict()
 
+    # Big arrays (state/params/nodes/boxes: ~100s of MB at 1M nodes) must
+    # be jit ARGUMENTS — closure-captured device arrays are baked into
+    # the HLO as constants, and the axon tunnel rejects the resulting
+    # remote_compile body (observed HTTP 413 at this node count).
     @jax.jit
-    def sweep_render(lim):
-        return render_cut(state, nodes, boxes, cams[2], lim, 1, bg,
-                          r_cfg, max_cut, params=params)
+    def sweep_render(st, nd, bx, pr, lim):
+        return render_cut(st, nd, bx, cams[2], lim, 1, bg,
+                          r_cfg, max_cut, params=pr)
 
     sweep = []
     for tau in (0.0, 3.0, 6.0, 15.0):
         limit = pixel_limit(tau, float(cams[2].tanfovx), W)
-        out = sweep_render(jnp.asarray(limit, jnp.float32))
+        out = sweep_render(state, nodes, boxes, params,
+                           jnp.asarray(limit, jnp.float32))
         img = jnp.clip(out["render"], 0, 1)
         sweep.append({"tau": tau, "cut": int(out["cut"].count),
                       "psnr_vs_gt": float(psnr(img, gts[2]))})

@@ -391,13 +391,16 @@ def test_kslot_scatter_matches_plain():
                                    rtol=5e-2, atol=1e-7)
 
 
-def test_batched_tafter_bit_exact():
+@pytest.mark.parametrize("quantum", [128, 64, 32])
+def test_batched_tafter_bit_exact(quantum):
     """The batched post-quantum transmittance must be BIT-identical to
     the per-quantum loop (min is exact, +inf is its identity, and the
-    selected lane sets decompose into whole quanta)."""
+    selected lane sets decompose into whole quanta). Sub-128 quanta
+    exercise the masked [P,128]-block reduce formulation."""
     params, cam, bg = _saturated_scene(n=250, seed=31)
     target = jnp.full((3, 32, 48), 0.4)
-    base = PL_CFG_SEG4._replace(max_entries=1 << 12, bwd_entries=1 << 11)
+    base = PL_CFG_SEG4._replace(max_entries=1 << 12, bwd_entries=1 << 11,
+                                quantum=quantum)
 
     def run(cfg):
         out = R.rasterize(*params, cam, 1, bg, config=cfg)
