@@ -261,7 +261,7 @@ def _aligned_from_sorted(gauss_idx, tile_start, tile_count, total, n_tiles,
                   else n_flimit.astype(jnp.int32)))
 
 
-def _delta_cumsum_rows(gtab, counts, starts, d: int):
+def _delta_cumsum_rows(gtab, counts, starts, d: int, transposed=False):
     """Per-entry rows gtab[gauss] WITHOUT the [D,8] row gather.
 
     Entries form per-Gaussian runs, so every column is piecewise-constant
@@ -270,7 +270,13 @@ def _delta_cumsum_rows(gtab, counts, starts, d: int):
     the telescoping sum is exact in mod-2^32 integer arithmetic, so the
     fill reproduces arbitrary i32/bitcast-f32 patterns bit-exactly.
     Replaces a D-row gather (issue-rate bound, ~3.6 ns/row) with one
-    N-row scatter + one [D,8] cumsum (SOL.md round-3 candidate C)."""
+    N-row scatter + one [D,8] cumsum (SOL.md round-3 candidate C).
+
+    ``transposed``: return [8, D] instead of [D, 8] and run the cumsum
+    along lanes of the transposed buffer — a [D, 8] array pads its minor
+    dim to a 128-lane tile on TPU (15/16 of every vector op wasted), so
+    the axis-0 cumsum and each downstream column read pay 16x traffic;
+    [8, D] rows are natural full-lane [D] vectors."""
     n = gtab.shape[0]
     active = counts > 0
     rank = jnp.cumsum(active.astype(jnp.int32)) - 1               # [N]
@@ -284,6 +290,8 @@ def _delta_cumsum_rows(gtab, counts, starts, d: int):
     delta = jnp.where(active[:, None], gtab - prev, 0)
     buf = jnp.zeros((d, gtab.shape[1]), gtab.dtype).at[starts].add(
         delta, mode="drop")   # starts are unique among active; >= d drop
+    if transposed:
+        return jnp.cumsum(buf.T, axis=1)
     return jnp.cumsum(buf, axis=0)
 
 
@@ -353,7 +361,7 @@ def bin_gaussians_aligned(proj: ProjectedGaussians, height: int, width: int,
     rank_bits = max(1, (n - 1).bit_length() if n > 1 else 1)
     use_rank = (sort_mode == "rank"
                 and (n_tiles + 1) <= (((1 << 31) - 1) >> rank_bits))
-    need_owner_fill = fill != "cumsum" or not use_rank
+    need_owner_fill = fill == "gather" or not use_rank
     if need_owner_fill:
         marker = jnp.zeros((d + 1,), jnp.int32).at[starts].max(
             jnp.arange(n, dtype=jnp.int32) + 1)
@@ -407,24 +415,30 @@ def bin_gaussians_aligned(proj: ProjectedGaussians, height: int, width: int,
                       sort_col,
                       fbits(proj.means2d[:, 0]), fbits(proj.means2d[:, 1]),
                       fbits(t_cmp)], axis=1)                     # [N, 8]
-    if fill == "cumsum":
+    if fill == "cumsum_t":
+        grows_t = _delta_cumsum_rows(gtab, counts, starts, d,
+                                     transposed=True)             # [8, D]
+        col = lambda k: grows_t[k]                                # noqa: E731
+    elif fill == "cumsum":
         grows = _delta_cumsum_rows(gtab, counts, starts, d)       # [D, 8]
+        col = lambda k: grows[:, k]                               # noqa: E731
     else:
         grows = gtab[gauss]                                       # [D, 8]
+        col = lambda k: grows[:, k]                               # noqa: E731
 
     def funbits(v):
         return jax.lax.bitcast_convert_type(v, jnp.float32)
 
-    j = jnp.arange(d, dtype=jnp.int32) - grows[:, 3]
-    tx = grows[:, 0] + j % grows[:, 2]
-    ty = grows[:, 1] + j // grows[:, 2]
-    mx = funbits(grows[:, 5])
-    my = funbits(grows[:, 6])
+    j = jnp.arange(d, dtype=jnp.int32) - col(3)
+    tx = col(0) + j % col(2)
+    ty = col(1) + j // col(2)
+    mx = funbits(col(5))
+    my = funbits(col(6))
     x0 = (tx * tile).astype(mx.dtype)
     y0 = (ty * tile).astype(my.dtype)
     dxe = jnp.maximum(jnp.maximum(x0 - mx, mx - (x0 + (tile - 1))), 0.0)
     dye = jnp.maximum(jnp.maximum(y0 - my, my - (y0 + (tile - 1))), 0.0)
-    keep = (dxe * dxe + dye * dye) <= funbits(grows[:, 7])
+    keep = (dxe * dxe + dye * dye) <= funbits(col(7))
     tile_id = jnp.where(entry_valid & keep, ty * tiles_x + tx, n_tiles)
 
     tile_range = jnp.arange(n_tiles, dtype=jnp.int32)
@@ -433,7 +447,7 @@ def bin_gaussians_aligned(proj: ProjectedGaussians, height: int, width: int,
         # boundaries come from ONE searchsorted over T+1 key-space points
         # (tile t's end == tile t+1's start, so the two side="left"/
         # "right" calls of the fallback path collapse into one).
-        key = (tile_id << rank_bits) | grows[:, 4]
+        key = (tile_id << rank_bits) | col(4)
         sorted_key = jax.lax.sort((key,), num_keys=1)[0]
         sorted_gauss = sorted_key & ((1 << rank_bits) - 1)  # rank space
         bounds = jnp.searchsorted(
@@ -446,7 +460,7 @@ def bin_gaussians_aligned(proj: ProjectedGaussians, height: int, width: int,
         # Two-key sort: tile id major, positive-f32 depth *bits* minor
         # (order-preserving as int32, avoiding an f32 comparator).
         sorted_tile, _, sorted_gauss = jax.lax.sort(
-            (tile_id, grows[:, 4], gauss), num_keys=2)
+            (tile_id, col(4), gauss), num_keys=2)
         tile_start = jnp.searchsorted(sorted_tile, tile_range, side="left")
         tile_end = jnp.searchsorted(sorted_tile, tile_range, side="right")
         tile_of = sorted_tile

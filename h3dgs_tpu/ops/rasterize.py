@@ -77,11 +77,13 @@ class RasterizeConfig(NamedTuple):
     # (pallas_blend.scatter_entry_grads, SOL.md round-3 candidate B).
     scatter_k: int = 0
     # Per-entry table construction in binning: "gather" ([D,8] row
-    # gather) or "cumsum" (run-start delta scatter + mod-2^32 telescoping
-    # cumsum fill — bit-exact, SOL.md round-3 candidate C). "cumsum" won
-    # the on-chip A/B (bench stage-3, 2026-08-18: 153.7 vs 156.4 ms at
-    # the 1080p/200k bench point, grad-probe-identical) and is the
-    # default; "gather" remains as the fallback.
+    # gather), "cumsum" (run-start delta scatter + mod-2^32 telescoping
+    # cumsum fill — bit-exact, SOL.md round-3 candidate C), or
+    # "cumsum_t" (same fill but transposed to [8,D] so the cumsum and
+    # every downstream column read run on full-lane [D] vectors instead
+    # of a [D,8]-padded-to-[D,128] layout). "cumsum" won the 2026-08-18
+    # on-chip A/B (153.7 vs 156.4 ms) and is the default; "cumsum_t"
+    # races in ab_r04e.
     binning_fill: str = "cumsum"
     # Entry sort: "rank" packs (tile << RB | depth-rank) into one keyless
     # i32 sort (falls back to "2key" when the bits don't fit);

@@ -124,6 +124,7 @@ def main():
     os.makedirs(out_doc, exist_ok=True)
     result = {"n_nodes": int(h.n_nodes), "n_leaves": int(h.n_leaves),
               "cameras": "aerial 40/60/90/150 m", "wh": [W, H],
+              "iters_per_phase": int(os.environ.get("CITY_ITERS", 3000)),
               "taus": list(TAUS), "curve": curve}
     with open(os.path.join(out_doc, "lod_curve_extended.json"), "w") as f:
         json.dump(result, f, indent=2)

@@ -156,12 +156,13 @@ def test_cumsum_fill_matches_gather(seed, d):
                              jnp.asarray(shs), cam, 1, 1.0)
     a = binning.bin_gaussians_aligned(proj, cam.height, cam.width, d,
                                       64, 128, fill="gather")
-    b = binning.bin_gaussians_aligned(proj, cam.height, cam.width, d,
-                                      64, 128, fill="cumsum")
-    for name in a._fields:
-        np.testing.assert_array_equal(np.asarray(getattr(a, name)),
-                                      np.asarray(getattr(b, name)),
-                                      err_msg=name)
+    for fill in ("cumsum", "cumsum_t"):
+        b = binning.bin_gaussians_aligned(proj, cam.height, cam.width, d,
+                                          64, 128, fill=fill)
+        for name in a._fields:
+            np.testing.assert_array_equal(np.asarray(getattr(a, name)),
+                                          np.asarray(getattr(b, name)),
+                                          err_msg=f"{fill}/{name}")
 
 
 @pytest.mark.parametrize("seed", [0, 5])
@@ -175,7 +176,7 @@ def test_split_gen_budget_matches_unsplit(seed):
                              jnp.asarray(quats), jnp.asarray(opac),
                              jnp.asarray(shs), cam, 1, 1.0)
     d = 1 << 12
-    for fill in ("gather", "cumsum"):
+    for fill in ("gather", "cumsum", "cumsum_t"):
         a = binning.bin_gaussians_aligned(proj, cam.height, cam.width, d,
                                           64, 128, fill=fill)
         total = int(a.total_entries)
