@@ -90,8 +90,10 @@ def _blur_h(x, w):
 
 
 def _ssim_kernel(xp_ref, xc_ref, xn_ref, yp_ref, yc_ref, yn_ref,
-                 grad_ref, part_ref, *, h: int, w: int, lam: float,
-                 n_bands: int):
+                 *out_refs, h: int, w: int, lam: float,
+                 n_bands: int, with_grad: bool):
+    grad_ref = out_refs[0] if with_grad else None
+    part_ref = out_refs[-1]
     c = pl.program_id(0)
     wvals = _window()
     r = 3 * BH                      # folded per-channel slab rows
@@ -147,6 +149,12 @@ def _ssim_kernel(xp_ref, xc_ref, xn_ref, yp_ref, yc_ref, yn_ref,
     part_ref[1, :] = jnp.full((wp,), ss, jnp.float32)
     part_ref[2:, :] = jnp.zeros((6, wp), jnp.float32)
 
+    if not with_grad:
+        # Loss-only variant (forward-only eval): skip the ~3 extra blur
+        # chains of the gradient assembly entirely — XLA cannot DCE them
+        # out of a fused pallas_call (advisor r4).
+        return
+
     # Backward: coefficient fields, zeroed outside the map's domain
     # (invalid rows / pad lanes hold blur spill that must not feed the
     # transpose blur), scaled by -lam/(3HW).
@@ -171,7 +179,7 @@ def _pad_hw(img, hp, wp):
     return jnp.pad(img, ((0, 0), (0, hp - h), (LPAD, wp - w - LPAD)))
 
 
-def _run(pred, target, lam: float):
+def _run(pred, target, lam: float, with_grad: bool = True):
     c, h, w = pred.shape
     hp = -(-h // BH) * BH
     wp = -(-(w + 2 * LPAD) // 128) * 128
@@ -179,7 +187,7 @@ def _run(pred, target, lam: float):
     y = _pad_hw(target.astype(jnp.float32), hp, wp)
     n_bands = hp // BH
     kernel = functools.partial(_ssim_kernel, h=h, w=w, lam=lam,
-                               n_bands=n_bands)
+                               n_bands=n_bands, with_grad=with_grad)
 
     def band(off):
         return pl.BlockSpec(
@@ -194,17 +202,20 @@ def _run(pred, target, lam: float):
                   or "tpu" in getattr(d, "device_kind", "").lower())
     except Exception:
         pass
-    grad_p, parts = pl.pallas_call(
+    grad_spec = pl.BlockSpec((3, BH, wp), lambda c: (0, c, 0),
+                             memory_space=pltpu.VMEM)
+    part_spec = pl.BlockSpec((8, wp), lambda c: (c, 0),
+                             memory_space=pltpu.VMEM)
+    grad_shape = jax.ShapeDtypeStruct((3, hp, wp), jnp.float32)
+    part_shape = jax.ShapeDtypeStruct((8 * n_bands, wp), jnp.float32)
+    outs = pl.pallas_call(
         kernel,
         grid=(n_bands,),
         in_specs=[band(-1), band(0), band(+1),
                   band(-1), band(0), band(+1)],
-        out_specs=[pl.BlockSpec((3, BH, wp), lambda c: (0, c, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((8, wp), lambda c: (c, 0),
-                                memory_space=pltpu.VMEM)],
-        out_shape=[jax.ShapeDtypeStruct((3, hp, wp), jnp.float32),
-                   jax.ShapeDtypeStruct((8 * n_bands, wp), jnp.float32)],
+        out_specs=([grad_spec, part_spec] if with_grad else [part_spec]),
+        out_shape=([grad_shape, part_shape] if with_grad
+                   else [part_shape]),
         # The working set (2 input slabs + 5 blurred fields + 3
         # coefficient fields at [9*BH, WP]) legitimately exceeds the
         # 16 MiB default scoped-VMEM budget; v5e has 128 MiB physical.
@@ -212,17 +223,22 @@ def _run(pred, target, lam: float):
             vmem_limit_bytes=100 << 20),
         interpret=not on_tpu,
     )(x, x, x, y, y, y)
+    parts = outs[-1]
     sums = jnp.sum(parts[:, 0].reshape(n_bands, 8), axis=0)
     denom = 3.0 * h * w
     loss = ((1.0 - lam) * sums[0] / denom
             + lam * (1.0 - sums[1] / denom))
-    grad = grad_p[:, :h, LPAD:LPAD + w]
+    if not with_grad:
+        return loss, None
+    grad = outs[0][:, :h, LPAD:LPAD + w]
     return loss, grad
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _fused_loss(pred, target, lam: float):
-    loss, _ = _run(pred, target, lam)
+    # Primal (non-differentiated callers, e.g. forward-only eval): the
+    # loss-only kernel variant skips the gradient blur chains.
+    loss, _ = _run(pred, target, lam, with_grad=False)
     return loss
 
 

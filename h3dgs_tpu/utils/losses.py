@@ -100,21 +100,38 @@ def _on_tpu() -> bool:
         return False
 
 
+# Flipped to True only once an on-chip A/B log exists for the fused SSIM
+# kernel (advisor r4: the kernel was committed after the last chip
+# validation and has never executed on hardware).
+_FUSED_SSIM_VERIFIED = False
+
+
+def fused_ssim_supported(pred: jnp.ndarray) -> bool:
+    """Shape/dtype/backend gate for the fused Pallas SSIM kernel."""
+    return (pred.ndim == 3 and pred.shape[0] == 3
+            and pred.shape[1] >= 11 and pred.shape[2] >= 11
+            and pred.dtype == jnp.float32 and _on_tpu())
+
+
 def photometric_loss(pred: jnp.ndarray, target: jnp.ndarray,
                      lambda_dssim: float = 0.2,
                      fused: bool = None) -> jnp.ndarray:
     """(1-l)*L1 + l*(1-SSIM), the reference's photo loss (train_single.py:106-108).
 
     ``fused``: use the single-pass Pallas fwd+bwd kernel
-    (ops/pallas_ssim — measured 2.8x faster than the XLA blur chains at
-    1080p on v5e, values equal to f32 rounding). None = auto: on TPU for
-    [3,H,W] f32 images taller/wider than the SSIM window. The fused path
-    differentiates w.r.t. ``pred`` only (targets ride stop_gradient) —
-    the training semantics everywhere in this repo."""
+    (ops/pallas_ssim). None = auto: on TPU for [3,H,W] f32 images
+    taller/wider than the SSIM window, PROVIDED the kernel has passed an
+    on-chip A/B (loss value + full-gradient cosine + timing vs the XLA
+    path; scripts/ab_ssim.py, chip_logs/ab_ssim_*). Until that log
+    exists the auto path stays OFF — nothing is promoted to a default
+    unmeasured on hardware. CAVEAT: the fused path differentiates
+    w.r.t. ``pred`` only (the target rides stop_gradient), while the XLA
+    path differentiates both arguments; auto-enabling is therefore only
+    sound for constant-target photometric training, which is every
+    in-repo caller. Distillation-style uses (target = rendered teacher)
+    must pass ``fused=False`` explicitly."""
     if fused is None:
-        fused = (pred.ndim == 3 and pred.shape[0] == 3
-                 and pred.shape[1] >= 11 and pred.shape[2] >= 11
-                 and pred.dtype == jnp.float32 and _on_tpu())
+        fused = _FUSED_SSIM_VERIFIED and fused_ssim_supported(pred)
     if fused:
         from ..ops.pallas_ssim import fused_photometric_loss
         return fused_photometric_loss(pred, target, lambda_dssim)

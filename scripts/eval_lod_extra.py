@@ -25,6 +25,16 @@ TAUS = (0.0, 3.0, 6.0, 15.0, 24.0, 40.0, 60.0)
 
 
 def main():
+    # Round-4 postmortem: two runs died silently right after the "merged:"
+    # print (3-line logs, no traceback). Instrument hard: faulthandler for
+    # native crashes, a watchdog dump, and per-stage progress prints so a
+    # kill is at least attributable to a stage.
+    import faulthandler
+    import signal
+    faulthandler.enable(all_threads=True)
+    if hasattr(faulthandler, "register") and hasattr(signal, "SIGUSR1"):
+        faulthandler.register(signal.SIGUSR1, all_threads=True)
+
     import jax
     from h3dgs_tpu.utils.runtime import enable_compile_cache
     enable_compile_cache()
@@ -68,7 +78,13 @@ def main():
             eye=(2.0 * np.sin(i), -hgt, 3.0 * np.cos(i)),
             target=(0.0, -1.0, 0.0), fovx=1.2, width=W, height=H))
 
-    gt_budget = max(entry_budget_for_scene(*gt_args, c, 0) for c in cams)
+    budgets = []
+    for i, c in enumerate(cams):
+        b = entry_budget_for_scene(*gt_args, c, 0)
+        print(f"budget cam{i}: {b}", flush=True)
+        budgets.append(b)
+    gt_budget = max(budgets)
+    print(f"gt_budget={gt_budget}", flush=True)
     gt_cfg = RasterizeConfig(max_entries=gt_budget, max_per_tile=4096,
                              bwd_entries=0)
 
@@ -77,7 +93,11 @@ def main():
         return jnp.clip(rasterize(*gt_args, cam, 0, bg,
                                   config=gt_cfg)["render"], 0, 1)
 
-    gts = [np.asarray(render_gt(c)) for c in cams]
+    gts = []
+    for i, c in enumerate(cams):
+        t0 = time.time()
+        gts.append(np.asarray(render_gt(c)))
+        print(f"gt cam{i} rendered in {time.time() - t0:.1f}s", flush=True)
 
     r_cfg = RasterizeConfig(max_entries=gt_budget, max_per_tile=4096,
                             bwd_entries=0)
@@ -95,7 +115,11 @@ def main():
         cuts, p_gt, p_t0 = [], [], []
         for ci, cam in enumerate(cams):
             limit = pixel_limit(tau, float(cam.tanfovx), W)
+            t0 = time.time()
             img, cut_n = run(cam, jnp.asarray(limit, jnp.float32))
+            jax.block_until_ready(img)
+            print(f"  tau={tau} cam{ci}: {time.time() - t0:.1f}s",
+                  flush=True)
             img = np.asarray(img)
             cuts.append(int(cut_n))
             p_gt.append(float(psnr(jnp.asarray(img),
