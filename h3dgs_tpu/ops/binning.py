@@ -179,6 +179,14 @@ class AlignedBins(NamedTuple):
     # per tile is preserved because rank IS depth order.
     perm: Optional[jnp.ndarray] = None
     rank: Optional[jnp.ndarray] = None
+    # [N, 8] i32 generation-stream geometry (want_gen_tab=True):
+    # col 0 = run start (exclusive cumsum of counts), 1/2 = rect_min_x/y,
+    # 3 = span_x, 4 = raw duplicate count; cols 5-7 pad. Original
+    # Gaussian order. Consumed by the segsum gradient reduction
+    # (ops/pallas_blend.segsum_entry_grads): each entry's gen-stream
+    # slot is unique, so gradients reduce with a plain scatter + cumsum
+    # instead of a scatter-add.
+    gen_tab: Optional[jnp.ndarray] = None
 
 
 def align_segments(binned: BinnedGaussians, n_tiles: int, max_entries: int,
@@ -302,7 +310,8 @@ def bin_gaussians_aligned(proj: ProjectedGaussians, height: int, width: int,
                           sort_mode: str = "rank",
                           gen_entries: int = 0,
                           trunc_theta: float = 0.0,
-                          trunc_c: float = 1.0) -> AlignedBins:
+                          trunc_c: float = 1.0,
+                          want_gen_tab: bool = False) -> AlignedBins:
     """Fused binning for the Pallas blend: single-key sort + aligned layout.
 
     Faster than bin_gaussians + align_segments: one i32 sort key (rank-key
@@ -474,7 +483,14 @@ def bin_gaussians_aligned(proj: ProjectedGaussians, height: int, width: int,
         sorted_gauss.astype(jnp.int32), tile_start.astype(jnp.int32),
         counts_t, jnp.asarray(total, jnp.int32), n_tiles, max_per_tile,
         chunk_e, d_out=max_entries, n_flimit=n_flimit)
-    return out._replace(perm=perm, rank=rank)
+    gen_tab = None
+    if want_gen_tab:
+        z = jnp.zeros((n,), jnp.int32)
+        gen_tab = jnp.stack(
+            [offsets.astype(jnp.int32), rect_min_x, rect_min_y,
+             jnp.maximum(span_x, 1), counts.astype(jnp.int32),
+             z, z, z], axis=1)                                # [N, 8]
+    return out._replace(perm=perm, rank=rank, gen_tab=gen_tab)
 
 
 def _flimit_counts(proj: ProjectedGaussians, lam_min, sorted_gauss, tile_of,

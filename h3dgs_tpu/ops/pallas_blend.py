@@ -65,6 +65,14 @@ ALPHA_MAX = 0.99
 # gather instead of an extra (slow) scalar gather.
 R_MX, R_MY, R_CA, R_CB, R_CC, R_R, R_G, R_B, R_OP, R_ID = range(10)
 R_GI = 10
+# Spare rows 11-14 (segsum gradient reduction): the source Gaussian's
+# generation-stream run start (exclusive-cumsum offset), tile-rect
+# min x/y, and rect span_x — bitcast i32. They ride the SAME 64-byte
+# row gather as the attributes (TPU gathers are issue-rate bound per
+# ROW, so 4 more used columns are free), and let the backward compute
+# each entry's unique generation-stream position with pure VPU math:
+# gen_pos = off + (ty - rect_y) * span_x + (tx - rect_x).
+R_GOF, R_GRX, R_GRY, R_GSX = 11, 12, 13, 14
 N_ROWS = 16  # padded to a full sublane tile
 
 # Output rows per chunk/tile: rgb, invdepth, transmittance (pre-background).
@@ -133,6 +141,22 @@ class PallasBlendConfig(NamedTuple):
     # transpose — trades two 2.3 ms XLA layout passes at D=2M for
     # VMEM-local transposes inside the kernels.
     rows_layout: bool = False
+    # Gradient reduction entries -> Gaussians:
+    #   "add"    — one [D,16]-row scatter-ADD keyed by gauss_idx. Runs at
+    #              XLA scatter-add's ~13 ns/row RMW floor (20 ms at
+    #              D=1.5M on v5e — the #1 single op of the training step).
+    #   "segsum" — route each entry's gradient row to its UNIQUE
+    #              generation-stream position with a plain scatter
+    #              (~3.6 ns/row, no RMW), then reduce per-Gaussian runs
+    #              (gen order is per-Gaussian contiguous) with one
+    #              [D_gen,16] f32 cumsum + two [N,16] boundary gathers.
+    #              Same sums up to f32 summation order (the cumsum
+    #              telescopes a global prefix, so boundary differences
+    #              carry O(|prefix|*eps) rounding — gated on chip like
+    #              every numeric rewrite). Needs gen_tab rows in the
+    #              stream (pack_rows gen_tab=...) and gen_d set.
+    scatter_mode: str = "add"
+    gen_d: int = 0         # generation-stream slot count (segsum)
 
 
 def _alpha_terms(e, px, py):
@@ -742,8 +766,13 @@ def bwd_keep_mask(owner, q_dead):
     return keep, jnp.sum(keep.astype(jnp.int32))
 
 
-def _attr_table(means2d, conic, rgb, opacity, inv_depth) -> jax.Array:
-    """Per-Gaussian [N, 16] attribute matrix (pack_rows' gather source)."""
+def _attr_table(means2d, conic, rgb, opacity, inv_depth,
+                gen_tab=None) -> jax.Array:
+    """Per-Gaussian [N, 16] attribute matrix (pack_rows' gather source).
+
+    ``gen_tab`` ([N, >=4] i32: gen-stream offset, rect_min_x, rect_min_y,
+    span_x — ops/binning) rides bitcast in rows R_GOF..R_GSX for the
+    segsum gradient reduction."""
     n = means2d.shape[0]
     attr = jnp.zeros((n, N_ROWS), jnp.float32)
     attr = attr.at[:, R_MX].set(means2d[:, 0])
@@ -752,11 +781,15 @@ def _attr_table(means2d, conic, rgb, opacity, inv_depth) -> jax.Array:
     attr = attr.at[:, R_R:R_B + 1].set(rgb)
     attr = attr.at[:, R_OP].set(opacity)
     attr = attr.at[:, R_ID].set(inv_depth)
+    if gen_tab is not None:
+        attr = attr.at[:, R_GOF:R_GSX + 1].set(
+            jax.lax.bitcast_convert_type(
+                gen_tab[:, :4].astype(jnp.int32), jnp.float32))
     return attr
 
 
 def pack_rows(means2d, conic, rgb, opacity, inv_depth, gauss_idx,
-              perm=None) -> jax.Array:
+              perm=None, gen_tab=None) -> jax.Array:
     """Gather per-entry attributes into packed [D, 16] rows.
 
     One [N+1,16] attribute matrix -> one contiguous row gather: the gather
@@ -770,7 +803,7 @@ def pack_rows(means2d, conic, rgb, opacity, inv_depth, gauss_idx,
     space and perm maps rank -> original id; one extra [N,16] row permute
     re-keys the table so the D-gather stays a single hop.
     """
-    attr = _attr_table(means2d, conic, rgb, opacity, inv_depth)
+    attr = _attr_table(means2d, conic, rgb, opacity, inv_depth, gen_tab)
     if perm is not None:
         attr = attr[perm]
     n = attr.shape[0]
@@ -784,10 +817,70 @@ def pack_rows(means2d, conic, rgb, opacity, inv_depth, gauss_idx,
 
 
 def pack_entries(means2d, conic, rgb, opacity, inv_depth,
-                 gauss_idx, perm=None) -> jax.Array:
+                 gauss_idx, perm=None, gen_tab=None) -> jax.Array:
     """Packed [16, D] stream (pack_rows transposed; kernel layout)."""
     return pack_rows(means2d, conic, rgb, opacity, inv_depth, gauss_idx,
-                     perm).T
+                     perm, gen_tab).T
+
+
+def segsum_entry_grads(dentries, stream, owner, gauss_idx, n: int,
+                       gen_off, gen_counts, gen_d: int, quantum: int,
+                       tiles_x: int, rows_layout: bool = False):
+    """Per-Gaussian gradient sums WITHOUT scatter-add RMW.
+
+    Every entry of the sorted/aligned stream originates from a unique slot
+    of the *generation* stream (binning enumerates each Gaussian's tile
+    rect contiguously: run start ``gen_off[g]``, row-major rect index
+    within). The reduction therefore decomposes into
+      1. ONE plain [D,16]-row scatter (unique destinations, no RMW) of
+         the gradient rows into gen order,
+      2. ONE [gen_d,16] f32 cumsum along the stream,
+      3. per-Gaussian run sums as boundary differences — two [N,16] row
+         gathers.
+    Entries the pipeline dropped (lossless tile cull, per-tile caps,
+    budget overflow, bwd truncation padding) simply leave their gen slot
+    zero — exactly the zero gradient the "add" path gives them.
+
+    The entry's rect coordinates ride the stream's spare rows
+    (R_GOF..R_GSX, see pack_rows) so this needs no extra gather; its tile
+    comes from repeating the per-quantum ``owner``. Summation order
+    differs from scatter-add by f32 rounding only (cumsum boundary
+    differences carry O(|global prefix| * eps) noise — the on-chip gate
+    in scripts/ab_segsum.py bounds it).
+    """
+    rows = dentries if rows_layout else dentries.T           # [D, 16]
+    srows = stream if rows_layout else stream.T              # [D, 16]
+    d = rows.shape[0]
+
+    def ibits(col):
+        return jax.lax.bitcast_convert_type(srows[:, col], jnp.int32)
+
+    off = ibits(R_GOF)
+    rmx = ibits(R_GRX)
+    rmy = ibits(R_GRY)
+    spx = ibits(R_GSX)
+    tile_e = jnp.repeat(owner, quantum, total_repeat_length=d)
+    tx = jnp.where(tile_e >= 0, tile_e % tiles_x, 0)
+    ty = jnp.where(tile_e >= 0, tile_e // tiles_x, 0)
+    gen_pos = off + (ty - rmy) * jnp.maximum(spx, 1) + (tx - rmx)
+    ok = (gauss_idx >= 0) & (tile_e >= 0) & (gen_pos >= 0) & \
+        (gen_pos < gen_d)
+    dst = jnp.where(ok, gen_pos, gen_d)
+    acc = jnp.zeros((gen_d + 1, N_ROWS), jnp.float32).at[dst].set(
+        rows, mode="drop", unique_indices=True)[:gen_d]
+    c = jnp.cumsum(acc, axis=0)
+    ends = jnp.clip(gen_off + gen_counts - 1, 0, gen_d - 1)
+    starts = jnp.clip(gen_off, 0, gen_d - 1)
+    hi = c[ends]
+    lo = jnp.where((gen_off > 0)[:, None], c[jnp.maximum(starts - 1, 0)],
+                   0.0)
+    acc_n = jnp.where((gen_counts > 0)[:, None], hi - lo, 0.0)   # [N,16]
+    d_means2d = acc_n[:, R_MX:R_MY + 1]
+    d_conic = acc_n[:, R_CA:R_CC + 1]
+    d_rgb = acc_n[:, R_R:R_B + 1]
+    d_opac = acc_n[:, R_OP]
+    d_invd = acc_n[:, R_ID]
+    return d_means2d, d_conic, d_rgb, d_opac, d_invd
 
 
 def scatter_entry_grads(dentries, gauss_idx, n: int, k_slots: int = 0,
@@ -829,10 +922,10 @@ def scatter_entry_grads(dentries, gauss_idx, n: int, k_slots: int = 0,
 
 # --------------------------------------------------------------- custom VJP
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14))
 def blend_entries(means2d, conic, rgb, opacity, inv_depth, owner, gauss_idx,
-                  last_chunk, perm, rank, n_tiles: int, tiles_x: int,
-                  tile: int, cfg: PallasBlendConfig):
+                  last_chunk, perm, rank, gen_tab, n_tiles: int,
+                  tiles_x: int, tile: int, cfg: PallasBlendConfig):
     """Differentiable tile blend: per-Gaussian screen-space attributes ->
     (per-tile [n_tiles, 8, P] (rgb, invdepth, transmittance;
     pre-background), n_bwd_quanta [] int32).
@@ -847,10 +940,13 @@ def blend_entries(means2d, conic, rgb, opacity, inv_depth, owner, gauss_idx,
     ``last_chunk``: [n_tiles] int32 index of each tile's final chunk
     (-1 = tile has no entries). ``perm``/``rank``: rank-key binning
     permutations (both None when gauss_idx holds original ids).
+    ``gen_tab``: [N, >=5] i32 generation-stream geometry (offset,
+    rect_min_x, rect_min_y, span_x, counts; original Gaussian order) —
+    required when cfg.scatter_mode == "segsum", None otherwise.
     """
     out, _ = _blend_fwd(means2d, conic, rgb, opacity, inv_depth, owner,
-                        gauss_idx, last_chunk, perm, rank, n_tiles, tiles_x,
-                        tile, cfg)
+                        gauss_idx, last_chunk, perm, rank, gen_tab,
+                        n_tiles, tiles_x, tile, cfg)
     return out
 
 
@@ -870,9 +966,15 @@ def _combine_chunks(chunk_out, owner, last_chunk, n_tiles):
 
 
 def _blend_fwd(means2d, conic, rgb, opacity, inv_depth, owner, gauss_idx,
-               last_chunk, perm, rank, n_tiles, tiles_x, tile, cfg):
+               last_chunk, perm, rank, gen_tab, n_tiles, tiles_x, tile,
+               cfg):
+    segsum = cfg.scatter_mode == "segsum"
+    if segsum and (gen_tab is None or not cfg.gen_d):
+        raise ValueError(
+            "scatter_mode='segsum' needs gen_tab rows and cfg.gen_d "
+            "(binning want_gen_tab=True)")
     rows = pack_rows(means2d, conic, rgb, opacity, inv_depth, gauss_idx,
-                     perm)
+                     perm, gen_tab if segsum else None)
     chunk_out = pallas_blend_fwd(rows if cfg.rows_layout else rows.T,
                                  owner, tiles_x=tiles_x, tile=tile,
                                  cfg=cfg)
@@ -895,11 +997,11 @@ def _blend_fwd(means2d, conic, rgb, opacity, inv_depth, owner, gauss_idx,
         stream = rows if cfg.rows_layout else rows.T
         n_bwd = jnp.full((), -1, jnp.int32)
     return (out, n_bwd), (stream, owner, gauss_idx, out, q_dead,
-                          means2d.shape[0], rank)
+                          means2d.shape[0], rank, gen_tab)
 
 
 def _blend_bwd(n_tiles, tiles_x, tile, cfg, res, g):
-    stream, owner, gauss_idx, out, q_dead, n, rank = res
+    stream, owner, gauss_idx, out, q_dead, n, rank, gen_tab = res
     g = jnp.asarray(g[0], jnp.float32)  # g[1]: int32 count, float0 cotangent
     # Fused suffix constants ride the spare cotangent rows, so the kernel
     # needs a single per-chunk gather.
@@ -910,6 +1012,11 @@ def _blend_bwd(n_tiles, tiles_x, tile, cfg, res, g):
         grads_chunks = g[jnp.maximum(own, 0)]                # [C, 8, P]
         dentries = pallas_blend_bwd(packed, own, grads_chunks,
                                     tiles_x=tiles_x, tile=tile, cfg=cfg)
+        if cfg.scatter_mode == "segsum":
+            return segsum_entry_grads(
+                dentries, packed, own, gidx, n, gen_tab[:, 0],
+                gen_tab[:, 4], cfg.gen_d, cfg.quantum, tiles_x,
+                rows_layout=cfg.rows_layout)
         return scatter_entry_grads(dentries, gidx, n,
                                    k_slots=cfg.scatter_k, rank=rank,
                                    rows_layout=cfg.rows_layout)
@@ -967,8 +1074,10 @@ def _blend_bwd(n_tiles, tiles_x, tile, cfg, res, g):
     f0_g = np.zeros(gauss_idx.shape, jax.dtypes.float0)
     f0_l = np.zeros((n_tiles,), jax.dtypes.float0)
     f0_p = None if rank is None else np.zeros((n,), jax.dtypes.float0)
+    f0_t = (None if gen_tab is None
+            else np.zeros(gen_tab.shape, jax.dtypes.float0))
     return (d_means2d, d_conic, d_rgb, d_opac, d_invd, f0, f0_g, f0_l,
-            f0_p, f0_p)
+            f0_p, f0_p, f0_t)
 
 
 blend_entries.defvjp(_blend_fwd, _blend_bwd)

@@ -76,6 +76,14 @@ class RasterizeConfig(NamedTuple):
     # Gaussian's updates over K destinations + dense [N,K,16] reduce
     # (pallas_blend.scatter_entry_grads, SOL.md round-3 candidate B).
     scatter_k: int = 0
+    # Gradient reduction entries -> Gaussians (Pallas path): "add" = one
+    # [D,16]-row scatter-ADD (XLA RMW floor ~13 ns/row — the #1 single op
+    # of the 1080p step at 20 ms); "segsum" = plain scatter to each
+    # entry's unique generation-stream slot + [D_gen,16] cumsum +
+    # per-Gaussian boundary diffs (pallas_blend.segsum_entry_grads) —
+    # same sums up to f32 summation order, gated on chip
+    # (scripts/ab_segsum.py) like every numeric rewrite.
+    scatter_mode: str = "add"
     # Per-entry table construction in binning: "gather" ([D,8] row
     # gather), "cumsum" (run-start delta scatter + mod-2^32 telescoping
     # cumsum fill — bit-exact, SOL.md round-3 candidate C), or
@@ -298,7 +306,9 @@ def blend_tiles_pallas(proj: ProjectedGaussians, height: int, width: int,
                                  sort_mode=config.sort_mode,
                                  gen_entries=config.gen_entries,
                                  trunc_theta=config.trunc_theta,
-                                 trunc_c=config.trunc_c)
+                                 trunc_c=config.trunc_c,
+                                 want_gen_tab=(config.scatter_mode
+                                               == "segsum"))
     return blend_from_bins(proj, bins, height, width, bg_color, config)
 
 
@@ -313,6 +323,26 @@ def blend_from_bins(proj: ProjectedGaussians, bins, height: int, width: int,
     tiles_y, tiles_x = num_tiles(height, width, tile)
     n_tiles = tiles_y * tiles_x
     quantum = min(config.quantum, config.chunk_e)
+    if config.chunk_e % quantum:
+        raise ValueError(
+            f"chunk_e ({config.chunk_e}) must be a multiple of quantum "
+            f"({quantum})")
+    if quantum < 128:
+        # The kernel's sub-quantum machinery (block-diagonal MXU prefix,
+        # masked [P,128] block reduces) iterates whole 128-lane tiles, so
+        # every segment length it sees must pack 128 lanes exactly.
+        if 128 % quantum:
+            raise ValueError(
+                f"quantum ({quantum}) below a 128-lane tile must divide "
+                "128")
+        if config.chunk_e % 128 or (config.bwd_chunk_e
+                                    and config.bwd_chunk_e % 128):
+            raise ValueError(
+                f"with quantum={quantum} < 128, chunk_e "
+                f"({config.chunk_e}) and bwd_chunk_e "
+                f"({config.bwd_chunk_e}) must be multiples of 128 — "
+                "_seg_trans_after/_seg_prefix iterate whole 128-lane "
+                "blocks")
     bwd_entries = config.bwd_entries
     if bwd_entries is None:
         bwd_entries = max(config.max_entries // 2, config.chunk_e)
@@ -342,7 +372,10 @@ def blend_from_bins(proj: ProjectedGaussians, bins, height: int, width: int,
         interpret=not _on_tpu(), bwd_entries=bwd_entries,
         prefix_mode=config.prefix_mode, scatter_k=config.scatter_k,
         tafter_mode=tafter,
-        rows_layout=config.rows_layout)
+        rows_layout=config.rows_layout,
+        scatter_mode=config.scatter_mode,
+        gen_d=(config.gen_entries or config.max_entries
+               if config.scatter_mode == "segsum" else 0))
     inv_depth = 1.0 / jnp.maximum(proj.depth, 1e-6)
     n_q_per_tile = -(-bins.tile_count // quantum)
     # Tiles whose aligned run overflows the buffer lost their quanta —
@@ -357,6 +390,7 @@ def blend_from_bins(proj: ProjectedGaussians, bins, height: int, width: int,
         proj.means2d, proj.conic, proj.rgb, proj.opacity,
         inv_depth, bins.owner, bins.gauss_idx,
         last_chunk.astype(jnp.int32), bins.perm, bins.rank,
+        getattr(bins, "gen_tab", None),
         n_tiles, tiles_x, tile, pcfg)                     # [T, 8, P]
 
     color = out[:, 0:3, :]

@@ -105,7 +105,7 @@ def main():
 
     t = bench_fn(lambda m2d: blend_entries(
         m2d, proj.conic, proj.rgb, proj.opacity, inv_depth, bins.owner,
-        bins.gauss_idx, last_chunk, bins.perm, bins.rank,
+        bins.gauss_idx, last_chunk, bins.perm, bins.rank, None,
         n_tiles, tiles_x, binning.TILE, pcfg),
         (proj.means2d,))
     print(f"blend fwd (pallas)    : {t * 1e3:8.2f} ms")
@@ -113,7 +113,7 @@ def main():
     def blend_loss(m2d):
         out, _ = blend_entries(m2d, proj.conic, proj.rgb, proj.opacity,
                                inv_depth, bins.owner, bins.gauss_idx,
-                               last_chunk, bins.perm, bins.rank,
+                               last_chunk, bins.perm, bins.rank, None,
                                n_tiles, tiles_x, binning.TILE, pcfg)
         return jnp.sum(out[:, 0:3, :] ** 2)
 

@@ -26,6 +26,15 @@ PL_CFG_SEG4 = XLA_CFG._replace(backend="pallas", chunk_e=512, quantum=128)
 # (halve/quarter the per-tile alignment padding — VERDICT r4 D-shrink).
 PL_CFG_Q64 = XLA_CFG._replace(backend="pallas", chunk_e=256, quantum=64)
 PL_CFG_Q32 = XLA_CFG._replace(backend="pallas", chunk_e=256, quantum=32)
+# Segsum gradient reduction (plain scatter to unique gen-stream slots +
+# cumsum + boundary diffs) instead of scatter-add.
+PL_CFG_SEGSUM = PL_CFG_SEG._replace(scatter_mode="segsum")
+# ... combined with backward termination truncation (compacted stream)
+# and with the 2-key sort fallback (gauss_idx in original space).
+PL_CFG_SEGSUM_TR = PL_CFG_SEG._replace(scatter_mode="segsum",
+                                       bwd_entries=None)
+PL_CFG_SEGSUM_2K = PL_CFG_SEG._replace(scatter_mode="segsum",
+                                       sort_mode="2key")
 
 
 def _scene(n=80, seed=0):
@@ -59,7 +68,10 @@ def test_pallas_forward_matches_xla(seed, pl_cfg):
     PL_CFG_SEG,
     pytest.param(PL_CFG_SEG4, marks=pytest.mark.slow),
     PL_CFG_Q64,
-    pytest.param(PL_CFG_Q32, marks=pytest.mark.slow)])
+    pytest.param(PL_CFG_Q32, marks=pytest.mark.slow),
+    PL_CFG_SEGSUM,
+    pytest.param(PL_CFG_SEGSUM_TR, marks=pytest.mark.slow),
+    pytest.param(PL_CFG_SEGSUM_2K, marks=pytest.mark.slow)])
 def test_pallas_gradients_match_xla(pl_cfg):
     params, cam, bg = _scene(seed=1)
     target = jnp.full((3, 32, 48), 0.4)
@@ -389,6 +401,54 @@ def test_kslot_scatter_matches_plain():
     for a, b in zip(jax.tree.leaves(g_k), jax.tree.leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-2, atol=1e-7)
+
+
+def test_segsum_scatter_matches_add():
+    """Segsum gradient reduction (plain scatter to unique gen-stream
+    slots + cumsum + per-Gaussian boundary diffs) must equal the
+    scatter-add path up to f32 summation-order noise. Saturated scene:
+    exercises per-tile caps / dropped entries, whose gen slots must stay
+    exactly zero."""
+    params, cam, bg = _saturated_scene(n=200, seed=22)
+    target = jnp.full((3, 32, 48), 0.4)
+
+    def grads(cfg):
+        def loss(p):
+            out = R.rasterize(*p, cam, 1, bg, config=cfg)
+            return photometric_loss(out["render"], target)
+        return jax.grad(loss)(params)
+
+    base = PL_CFG_SEG4._replace(max_entries=1 << 12)
+    g_ref = grads(base)
+    g_s = grads(base._replace(scatter_mode="segsum"))
+    for a, b in zip(jax.tree.leaves(g_s), jax.tree.leaves(g_ref)):
+        b = np.asarray(b)
+        scale = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(np.asarray(a) / scale, b / scale,
+                                   atol=2e-5)
+
+
+def test_segsum_split_budget_matches_add():
+    """Segsum with a split generation budget (gen_entries < max_entries):
+    gen positions index the GENERATION stream, whose size is the gen
+    budget, not the aligned one."""
+    params, cam, bg = _scene(seed=5)
+    target = jnp.full((3, 32, 48), 0.4)
+
+    def grads(cfg):
+        def loss(p):
+            out = R.rasterize(*p, cam, 1, bg, config=cfg)
+            return photometric_loss(out["render"], target)
+        return jax.grad(loss)(params)
+
+    base = PL_CFG_SEG._replace(max_entries=1 << 12, gen_entries=1 << 11)
+    g_ref = grads(base)
+    g_s = grads(base._replace(scatter_mode="segsum"))
+    for a, b in zip(jax.tree.leaves(g_s), jax.tree.leaves(g_ref)):
+        b = np.asarray(b)
+        scale = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(np.asarray(a) / scale, b / scale,
+                                   atol=2e-5)
 
 
 @pytest.mark.parametrize("quantum", [128, 64, 32])
