@@ -237,9 +237,14 @@ def _run(pred, target, lam: float, with_grad: bool = True):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _fused_loss(pred, target, lam: float):
     # Primal (non-differentiated callers, e.g. forward-only eval): the
-    # loss-only kernel variant skips the gradient blur chains.
-    loss, _ = _run(pred, target, lam, with_grad=False)
-    return loss
+    # XLA blur-chain forward is FASTER than even the loss-only kernel
+    # variant (chip_logs/ab_ssim_20260820T103553Z.log: 3.16 vs 4.04 ms at
+    # 1080p, 1.20 vs 1.46 at 544p — XLA fuses the forward-only graph
+    # well; the kernel's win is the fused backward). Values agree to f32
+    # rounding (dl <= 6e-8 in the same log).
+    from ..utils.losses import l1_loss, ssim
+    return ((1.0 - lam) * l1_loss(pred, target)
+            + lam * (1.0 - ssim(pred, target)))
 
 
 def _fused_fwd(pred, target, lam: float):

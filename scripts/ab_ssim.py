@@ -26,7 +26,7 @@ import time
 
 import numpy as np
 
-RES = [(1080, 1920), (544, 968)]
+RES = [(544, 968), (1080, 1920)]   # small first: fast signal if it wedges
 ITERS = 30
 
 
@@ -50,6 +50,15 @@ def jax_block(x):
 
 
 def main():
+    import faulthandler
+    import signal
+    faulthandler.enable(all_threads=True)
+    if hasattr(signal, "SIGUSR1"):
+        faulthandler.register(signal.SIGUSR1, all_threads=True)
+    # Watchdog: dump all stacks if a single stage wedges (the axon remote
+    # compile has been observed to hang without error).
+    faulthandler.dump_traceback_later(600, repeat=True)
+
     import jax
     from h3dgs_tpu.utils.runtime import enable_compile_cache
     enable_compile_cache()
@@ -83,8 +92,12 @@ def main():
         def v_fused(a, b):
             return fused_photometric_loss(a, b)
 
+        print(f"[{h}x{w}] compiling xla...", flush=True)
         l_ref, g_ref = f_xla(x, y)
+        float(l_ref)
+        print(f"[{h}x{w}] compiling fused...", flush=True)
         l_f, g_f = f_fused(x, y)
+        float(l_f)
         l_ref, l_f = float(l_ref), float(l_f)
         g_ref = np.asarray(g_ref)
         g_f = np.asarray(g_f)
