@@ -115,7 +115,34 @@ def expand_to_size(nodes: jax.Array, boxes: jax.Array, limit: jax.Array,
     )
 
 
-def interpolate_cut(params: dict, cut: Cut):
+# interp_table column layout: xyz 0-2, activated scales 3-5, rotation
+# 6-9, |opacity| 10, shs (f_dc + f_rest flattened) 11-58; 59-63 pad.
+_T_XYZ, _T_SCL, _T_ROT, _T_OP, _T_SH = 0, 3, 6, 10, 11
+_T_COLS = 64
+
+
+def interp_table(params: dict) -> jax.Array:
+    """[M, 64] fused attribute table for interpolate_cut.
+
+    Folds ALL per-node attributes (activated where the reference lerps
+    activated values) into 256-byte rows so the cut interpolation is TWO
+    row gathers instead of ~12 narrow ones — TPU gathers are issue-rate
+    bound per row, not per byte. The interactive viewer caches this
+    table across frames (params static between training updates), making
+    uncached-frame interpolation gather-only."""
+    m = params["xyz"].shape[0]
+    feats = jnp.concatenate([params["f_dc"], params["f_rest"]], axis=1)
+    t = jnp.concatenate([
+        params["xyz"],
+        jnp.exp(params["scaling"]),
+        params["rotation"],
+        jnp.abs(params["opacity"]),
+        feats.reshape(m, 48),
+    ], axis=1)                                             # [M, 59]
+    return jnp.pad(t, ((0, 0), (0, _T_COLS - t.shape[1])))
+
+
+def interpolate_cut(params: dict, cut: Cut, table: jax.Array = None):
     """Gather + lerp hierarchy attributes for the cut's nodes.
 
     ``params``: dict with xyz [M,3], f_dc [M,1,3], f_rest [M,15,3],
@@ -123,27 +150,33 @@ def interpolate_cut(params: dict, cut: Cut):
     rotation [M,4]. Returns activated per-splat arrays of length K.
     Gradients flow to both child and parent rows (the differentiable-LOD
     trick, /root/reference/gaussian_renderer/__init__.py:199-234).
+
+    ``table``: optional prebuilt interp_table(params) (the viewer's
+    cached-params fast path). The fused single-table formulation is
+    value-identical to per-attribute gathers: the lerp
+    w*child + (1-w)*parent runs on the same f32 values either way
+    (in-kernel-interpolation parity anchor:
+    /root/reference/gaussian_renderer/__init__.py:236-264 passes the
+    same lerp into the CUDA kernel).
     """
+    if table is None:
+        table = interp_table(params)
     k = cut.indices.shape[0]
     ci = jnp.where(cut.valid, cut.indices, 0)
     pi = cut.parents
     w = cut.weights[:, None]
 
-    def lerp(arr, extra_dims=0):
-        wl = w.reshape((k, 1) + (1,) * extra_dims) if extra_dims else w
-        return wl * arr[ci] + (1.0 - wl) * arr[pi]
-
-    xyz = lerp(params["xyz"])
-    # Interpolate in *activated* scale space (reference lerps pc.get_scaling).
-    scales = lerp(jnp.exp(params["scaling"]))
-    feats = jnp.concatenate([params["f_dc"], params["f_rest"]], axis=1)
-    shs = lerp(feats, extra_dims=1)
-    opac = lerp(jnp.abs(params["opacity"]))[:, 0]
-    opac = jnp.where(cut.valid, opac, 0.0)
+    rc = table[ci]                                         # [K, 64]
+    rp = table[pi]
+    lin = w * rc + (1.0 - w) * rp
+    xyz = lin[:, _T_XYZ:_T_XYZ + 3]
+    scales = lin[:, _T_SCL:_T_SCL + 3]
+    opac = jnp.where(cut.valid, lin[:, _T_OP], 0.0)
+    shs = lin[:, _T_SH:_T_SH + 48].reshape(k, 16, 3)
 
     # Quaternion sign fix: flip parent where dot(child, parent) < 0.
-    qc = params["rotation"][ci]
-    qp = params["rotation"][pi]
+    qc = rc[:, _T_ROT:_T_ROT + 4]
+    qp = rp[:, _T_ROT:_T_ROT + 4]
     dots = jnp.sum(qc * qp, axis=-1, keepdims=True)
     qp = jnp.where(dots < 0, -qp, qp)
     quats = w * qc + (1.0 - w) * qp

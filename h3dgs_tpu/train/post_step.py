@@ -81,21 +81,24 @@ def render_cut(state: GaussianState, nodes: jax.Array, boxes: jax.Array,
 
 
 def select_cut_gaussians(state: GaussianState, nodes, boxes, cam_center,
-                         limit, max_cut: int, params=None):
+                         limit, max_cut: int, params=None, table=None):
     """Cut selection + LOD interpolation + skybox append -> flat splats.
 
     Split out of render_cut so interactive rendering can cache the
     selected flat Gaussians across frames (cut selection depends only on
     the camera POSITION, so rotations reuse it exactly and small
     translations within a hysteresis margin reuse it approximately —
-    viewer/service.HierarchyRenderer).
+    viewer/service.HierarchyRenderer). ``table``: optional cached
+    interp_table(params) — the viewer's params are static between
+    training updates, so interpolation becomes gather-only.
     """
     if params is None:
         params = state.trainable_dict()
     c = state.capacity
     n_sky = state.n_skybox
     cut = cut_lib.expand_to_size(nodes, boxes, limit, cam_center, max_cut)
-    xyz, scales, quats, opac, shs = cut_lib.interpolate_cut(params, cut)
+    xyz, scales, quats, opac, shs = cut_lib.interpolate_cut(params, cut,
+                                                            table)
     if n_sky:
         sky = slice(c - n_sky, c)
         xyz = jnp.concatenate([xyz, params["xyz"][sky]])
