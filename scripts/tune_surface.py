@@ -50,6 +50,34 @@ def canyon(rng, aligned: bool, opac_lo: float, opac_hi: float,
     return means, s, quats, opac
 
 
+def blocks(rng, n_layers: int, n_per: int, size: float,
+           opac_lo: float = 0.85, opac_hi: float = 0.98):
+    """Fronto-parallel depth complexity: building facades stacked in
+    depth (camera at x=0 looking +x; layer k at x = 5 + 3k fills the
+    widening frustum). The regime CUDA's per-pixel termination earns its
+    throughput in: the first facade occludes everything behind."""
+    ms, ss = [], []
+    for k in range(n_layers):
+        x = 5.0 + 3.0 * k
+        half_h = 0.75 * x          # fovy/2 ~ 0.65 rad -> tan ~ 0.75
+        half_w = 1.25 * x
+        my = rng.uniform(-half_h, half_h, n_per)
+        mz = rng.uniform(-half_w, half_w, n_per)
+        mx = x + 0.05 * rng.normal(size=n_per)
+        ms.append(np.stack([mx, my, mz], 1))
+        # splat size scales with depth so every layer lands at ~4-6 px.
+        s = np.empty((n_per, 3), np.float32)
+        s[:, 1] = s[:, 2] = size * x * rng.uniform(0.8, 1.3, n_per)
+        s[:, 0] = 0.1 * s[:, 1]
+        ss.append(s)
+    means = np.concatenate(ms).astype(np.float32)
+    s = np.concatenate(ss).astype(np.float32)
+    m = means.shape[0]
+    quats = np.tile(np.array([1, 0, 0, 0], np.float32), (m, 1))
+    opac = rng.uniform(opac_lo, opac_hi, (m,)).astype(np.float32)
+    return means, s, quats, opac
+
+
 def main():
     import jax
     from h3dgs_tpu.utils.runtime import enable_compile_cache
@@ -65,12 +93,15 @@ def main():
     print("backend:", jax.devices()[0].device_kind, flush=True)
     bg = jnp.zeros(3, jnp.float32)
     target = jnp.full((3, H, W), 0.4, jnp.float32)
-    cam = look_at_camera(eye=(-11.0, -1.5, 0.0), target=(12.0, -1.3, 0.3),
-                         fovx=1.2, width=W, height=H)
+    canyon_cam = look_at_camera(eye=(-11.0, -1.5, 0.0),
+                                target=(12.0, -1.3, 0.3),
+                                fovx=1.2, width=W, height=H)
+    blocks_cam = look_at_camera(eye=(0.0, 0.0, 0.0), target=(10.0, 0.0, 0.2),
+                                fovx=1.2, width=W, height=H)
 
-    def build(label, **kw):
+    def build(label, gen, cam, **kw):
         rng = np.random.default_rng(1)
-        means, s, quats, opac = canyon(rng, **kw)
+        means, s, quats, opac = gen(rng, **kw)
         m = means.shape[0]
         shs = np.zeros((m, 16, 3), np.float32)
         shs[:, 0] = rgb_to_sh(rng.uniform(0.2, 0.8, (m, 3)))
@@ -111,14 +142,24 @@ def main():
         print(f"[{label}] {dt * 1e3:.2f} ms = {W * H / dt / 1e6:.2f} "
               "Mpix/s", flush=True)
 
-    build("aligned s=0.05 op.9", aligned=True, opac_lo=0.85,
-          opac_hi=0.98, size=0.05)
-    build("aligned s=0.08 op.9", aligned=True, opac_lo=0.85,
-          opac_hi=0.98, size=0.08)
-    build("aligned s=0.05 op.7", aligned=True, opac_lo=0.6,
-          opac_hi=0.9, size=0.05)
-    build("random  s=0.04 op.8", aligned=False, opac_lo=0.7,
-          opac_hi=0.97, size=0.04)
+    import os
+    which = os.environ.get("SURF_WHICH", "blocks")
+    if which == "canyon":
+        build("aligned s=0.05 op.9", canyon, canyon_cam, aligned=True,
+              opac_lo=0.85, opac_hi=0.98, size=0.05)
+        build("aligned s=0.08 op.9", canyon, canyon_cam, aligned=True,
+              opac_lo=0.85, opac_hi=0.98, size=0.08)
+        build("aligned s=0.05 op.7", canyon, canyon_cam, aligned=True,
+              opac_lo=0.6, opac_hi=0.9, size=0.05)
+        build("random  s=0.04 op.8", canyon, canyon_cam, aligned=False,
+              opac_lo=0.7, opac_hi=0.97, size=0.04)
+    else:
+        build("blocks 8x40k s=.006", blocks, blocks_cam, n_layers=8,
+              n_per=40_000, size=0.006)
+        build("blocks 6x50k s=.008", blocks, blocks_cam, n_layers=6,
+              n_per=50_000, size=0.008)
+        build("blocks 10x30k s=.01", blocks, blocks_cam, n_layers=10,
+              n_per=30_000, size=0.01)
 
 
 if __name__ == "__main__":
