@@ -157,6 +157,15 @@ class PallasBlendConfig(NamedTuple):
     #              stream (pack_rows gen_tab=...) and gen_d set.
     scatter_mode: str = "add"
     gen_d: int = 0         # generation-stream slot count (segsum)
+    # Forward combine mode: False = per-quantum INCREMENTAL contributions
+    # + an XLA segment-sum over quanta (the round-1..4 scheme). True =
+    # the kernel accumulates same-tile prefixes in VMEM scratch and each
+    # quantum's output row holds its tile's running total, so the XLA
+    # combine collapses to ONE [T]-row gather at each tile's final
+    # quantum (the O_T transmittance row already worked this way).
+    # Same totals up to f32 summation order (sequential stream order vs
+    # scatter-add order).
+    fwd_accumulate: bool = False
 
 
 def _alpha_terms(e, px, py):
@@ -418,10 +427,11 @@ def _chunk_owners(owner_ref, c, s: int):
     return owners, first
 
 
-def _fwd_kernel(owner_ref, entries_ref, out_ref, trans, term,
+def _fwd_kernel(owner_ref, entries_ref, out_ref, trans, term, acc,
                 *, tiles_x: int, tile: int, p: int, q: int, s: int,
                 emit_dead: bool = True, prefix_mode: str = "mxu",
-                tafter_mode: str = "loop", rows_layout: bool = False):
+                tafter_mode: str = "loop", rows_layout: bool = False,
+                accumulate: bool = False):
     c = pl.program_id(0)
     owners, first = _chunk_owners(owner_ref, c, s)
 
@@ -429,11 +439,18 @@ def _fwd_kernel(owner_ref, entries_ref, out_ref, trans, term,
     def _():
         trans[:] = jnp.ones_like(trans)
         term[:] = jnp.zeros_like(term)
+        if accumulate:
+            acc[:] = jnp.zeros_like(acc)
 
-    for i in range(s):
-        out_ref[i, O_R:O_D + 1, :] = jnp.zeros((4, p), jnp.float32)
-        out_ref[i, O_T + 1:, :] = jnp.zeros((N_OUT - O_T - 1, p),
-                                            jnp.float32)
+    if not accumulate:
+        for i in range(s):
+            out_ref[i, O_R:O_D + 1, :] = jnp.zeros((4, p), jnp.float32)
+            out_ref[i, O_T + 1:, :] = jnp.zeros((N_OUT - O_T - 1, p),
+                                                jnp.float32)
+    else:
+        for i in range(s):
+            out_ref[i, O_T + 1:, :] = jnp.zeros((N_OUT - O_T - 1, p),
+                                                jnp.float32)
 
     e = entries_ref[:].T if rows_layout else entries_ref[:]  # [16,E]
     seg = _segments(owners, e.shape[1], q, e.dtype)
@@ -467,8 +484,26 @@ def _fwd_kernel(owner_ref, entries_ref, out_ref, trans, term,
         else:
             t_afters = [_seg_trans_after(seg, i, q, live, t_incl, t_carry)
                         for i in range(s)]
+        if accumulate:
+            # Running same-tile totals: quantum i's output row holds its
+            # tile's accumulated rgb+invd so far (carry rides the acc
+            # scratch across chunks; reset on owner change). The combine
+            # then just gathers each tile's final quantum row.
+            running = None
         for i in range(s):
-            out_ref[i, O_R:O_D + 1, :] = outs[4 * i:4 * i + 4]
+            if accumulate:
+                contrib_i = outs[4 * i:4 * i + 4]
+                if i == 0:
+                    base = jnp.where(seg.bids[0] == 0, acc[0:4, :],
+                                     jnp.zeros((4, p), jnp.float32))
+                else:
+                    base = jnp.where(seg.bids[i] == seg.bids[i - 1],
+                                     running,
+                                     jnp.zeros((4, p), jnp.float32))
+                running = base + contrib_i
+                out_ref[i, O_R:O_D + 1, :] = running
+            else:
+                out_ref[i, O_R:O_D + 1, :] = outs[4 * i:4 * i + 4]
             out_ref[i, O_T, :] = t_afters[i][:, 0]
             if emit_dead:
                 # Dead-at-quantum-end flag: raw t_incl at the quantum's
@@ -499,11 +534,18 @@ def _fwd_kernel(owner_ref, entries_ref, out_ref, trans, term,
                 out_ref[i, O_DEAD, :] = dead_i[:, 0]
         trans[:, 0:1] = t_afters[s - 1]
         term[:, 0:1] = _seg_new_term(seg, term_carry, t_incl)
+        if accumulate:
+            acc[0:4, :] = running
 
     @pl.when(jnp.logical_not(compute))
     def _():
         for i in range(s):
             out_ref[i, O_T, :] = trans[:, 0]
+            if accumulate:
+                # Saturated/unused chunks contribute nothing, but a
+                # saturated tile's FINAL quantum may live here — its row
+                # must still hold the tile's accumulated total.
+                out_ref[i, O_R:O_D + 1, :] = acc[0:4, :]
             if emit_dead:
                 # Skipped chunks (saturated single-tile, or unused):
                 # every pixel's termination state is the carried flag.
@@ -686,7 +728,8 @@ def pallas_blend_fwd(packed, owner, *, tiles_x: int, tile: int,
                                emit_dead=cfg.bwd_entries > 0,
                                prefix_mode=cfg.prefix_mode,
                                tafter_mode=cfg.tafter_mode,
-                               rows_layout=cfg.rows_layout)
+                               rows_layout=cfg.rows_layout,
+                               accumulate=cfg.fwd_accumulate)
     if cfg.rows_layout:
         entry_spec = pl.BlockSpec((e, N_ROWS), lambda c, o: (c, 0),
                                   memory_space=pltpu.VMEM)
@@ -704,6 +747,7 @@ def pallas_blend_fwd(packed, owner, *, tiles_x: int, tile: int,
             scratch_shapes=[
                 pltpu.VMEM((p, 8), jnp.float32),     # trans (col 0)
                 pltpu.VMEM((p, 8), jnp.float32),     # term (col 0)
+                pltpu.VMEM((8, p), jnp.float32),     # acc (accumulate)
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((n_quanta, N_OUT, p), jnp.float32),
@@ -950,14 +994,24 @@ def blend_entries(means2d, conic, rgb, opacity, inv_depth, owner, gauss_idx,
     return out
 
 
-def _combine_chunks(chunk_out, owner, last_chunk, n_tiles):
-    """Segment-sum chunk contributions into tiles; gather final trans."""
+def _combine_chunks(chunk_out, owner, last_chunk, n_tiles,
+                    accumulated: bool = False):
+    """Chunk/quantum contributions -> per-tile totals + final trans.
+
+    ``accumulated``: the kernel already holds running same-tile totals in
+    every quantum row (cfg.fwd_accumulate), so the whole combine is ONE
+    [T]-row gather at each tile's final quantum — no scatter-add."""
+    has = last_chunk >= 0
+    if accumulated:
+        rows = chunk_out[jnp.maximum(last_chunk, 0)]        # [T, 8, P]
+        tiles = jnp.where(has[:, None, None], rows, 0.0)
+        trans = jnp.where(has[:, None], rows[:, O_T, :], 1.0)
+        return tiles.at[:, O_T, :].set(trans)
     safe_owner = jnp.where(owner >= 0, owner, n_tiles)
     tiles = jnp.zeros((n_tiles + 1,) + chunk_out.shape[1:],
                       chunk_out.dtype).at[safe_owner].add(chunk_out,
                                                           mode="drop")
     tiles = tiles[:n_tiles]
-    has = last_chunk >= 0
     trans = jnp.where(
         has[:, None],
         chunk_out[jnp.maximum(last_chunk, 0), O_T, :], 1.0)
@@ -983,7 +1037,8 @@ def _blend_fwd(means2d, conic, rgb, opacity, inv_depth, owner, gauss_idx,
     # for a specific fused executable (bit-identical per compile, absent
     # un-jitted and in interpret mode).
     chunk_out = jax.lax.optimization_barrier(chunk_out)
-    out = _combine_chunks(chunk_out, owner, last_chunk, n_tiles)
+    out = _combine_chunks(chunk_out, owner, last_chunk, n_tiles,
+                          accumulated=cfg.fwd_accumulate)
     if cfg.bwd_entries:
         # All-pixel deadness per quantum; residual keeps the [D,16] rows
         # so the compaction gather moves contiguous 64-byte rows.

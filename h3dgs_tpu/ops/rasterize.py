@@ -84,6 +84,13 @@ class RasterizeConfig(NamedTuple):
     # same sums up to f32 summation order, gated on chip
     # (scripts/ab_segsum.py) like every numeric rewrite.
     scatter_mode: str = "add"
+    # Forward combine (Pallas path): True = the kernel accumulates
+    # same-tile running totals in VMEM scratch and the XLA combine is a
+    # single [T]-row gather at each tile's final quantum, replacing the
+    # [n_quanta,8,P] segment-sum scatter-add
+    # (pallas_blend.PallasBlendConfig.fwd_accumulate). Same totals up to
+    # f32 summation order; raced in scripts/ab_combine.py.
+    fwd_accumulate: bool = False
     # Per-entry table construction in binning: "gather" ([D,8] row
     # gather), "cumsum" (run-start delta scatter + mod-2^32 telescoping
     # cumsum fill — bit-exact, SOL.md round-3 candidate C), or
@@ -375,7 +382,8 @@ def blend_from_bins(proj: ProjectedGaussians, bins, height: int, width: int,
         rows_layout=config.rows_layout,
         scatter_mode=config.scatter_mode,
         gen_d=(config.gen_entries or config.max_entries
-               if config.scatter_mode == "segsum" else 0))
+               if config.scatter_mode == "segsum" else 0),
+        fwd_accumulate=config.fwd_accumulate)
     inv_depth = 1.0 / jnp.maximum(proj.depth, 1e-6)
     n_q_per_tile = -(-bins.tile_count // quantum)
     # Tiles whose aligned run overflows the buffer lost their quanta —

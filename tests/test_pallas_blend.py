@@ -403,6 +403,44 @@ def test_kslot_scatter_matches_plain():
                                    rtol=5e-2, atol=1e-7)
 
 
+@pytest.mark.parametrize("scene_fn,seed", [("_scene", 4),
+                                           ("_saturated_scene", 23)])
+def test_fwd_accumulate_matches_segment_sum(scene_fn, seed):
+    """In-kernel tile accumulation (combine = one [T]-row gather) must
+    match the segment-sum combine up to f32 summation order, forward AND
+    gradients. The saturated scene exercises the skip path writing the
+    carried accumulator (a saturated tile's final quantum can live in a
+    skipped chunk)."""
+    maker = globals()[scene_fn]
+    params, cam, bg = (maker(n=200, seed=seed) if "sat" in scene_fn
+                       else maker(seed=seed))
+    target = jnp.full((3, 32, 48), 0.4)
+    base = PL_CFG_SEG4._replace(max_entries=1 << 12,
+                                bwd_entries=1 << 11)
+
+    def run(cfg):
+        def loss(p):
+            out = R.rasterize(*p, cam, 1, bg, config=cfg)
+            return photometric_loss(out["render"], target), out
+        (l, out), g = jax.value_and_grad(loss, has_aux=True)(params)
+        return out, g
+
+    out_a, g_a = run(base)
+    out_b, g_b = run(base._replace(fwd_accumulate=True))
+    np.testing.assert_allclose(np.asarray(out_b["render"]),
+                               np.asarray(out_a["render"]),
+                               atol=2e-6, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_b["final_transmittance"]),
+                               np.asarray(out_a["final_transmittance"]),
+                               atol=0, rtol=0)
+    assert int(out_b["n_bwd_quanta"]) == int(out_a["n_bwd_quanta"])
+    for a, b in zip(jax.tree.leaves(g_b), jax.tree.leaves(g_a)):
+        b = np.asarray(b)
+        scale = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(np.asarray(a) / scale, b / scale,
+                                   atol=2e-5)
+
+
 def test_segsum_scatter_matches_add():
     """Segsum gradient reduction (plain scatter to unique gen-stream
     slots + cumsum + per-Gaussian boundary diffs) must equal the
