@@ -250,8 +250,11 @@ def main():
             *p, s_cam, 3, bg,
             config=s_cfg._replace(bwd_entries=s_max))["n_bwd_quanta"])
         n_q = int(probe(s_params))
-        bwd_e = min(-(-max(n_q, 1) * QUANTUM * 11 // 10
-                      // s_cfg.chunk_e) * s_cfg.chunk_e, s_max)
+        if n_q < 0:     # XLA fallback path: no survivor telemetry
+            bwd_e = 0
+        else:
+            bwd_e = min(-(-n_q * QUANTUM * 11 // 10
+                          // s_cfg.chunk_e) * s_cfg.chunk_e, s_max)
         s_cfg = s_cfg._replace(bwd_entries=bwd_e)
         print(f"  surface budgets: gen={s_gen} max={s_max} "
               f"bwd_quanta={n_q} -> bwd_entries={bwd_e} "
