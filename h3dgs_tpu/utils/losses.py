@@ -106,7 +106,16 @@ def _on_tpu() -> bool:
 # 5.02 vs 7.54 ms at 1080p (1.5x; in-step 93.2 -> 91.4 ms) and correct
 # at 544x968. Non-differentiated calls route to the XLA forward (faster
 # there — same log); the kernel serves the grad path only.
-_FUSED_SSIM_VERIFIED = True
+# HOWEVER the full promotion gate also requires a clean TRAINING
+# validation with the fused path, and that FAILED: the round-5 city
+# run's chunk train_single went loss=nan at iter ~2050 with the kernel
+# default-on (chip_logs/validate_city_r5_20260820T131338Z.log) while the
+# identically-structured round-4 run (XLA loss) never nan'd. Standalone
+# correctness + in-training divergence smells like an executable-
+# specific fusion issue on this backend (the class the blend kernel's
+# optimization_barrier works around). Default OFF until root-caused;
+# the kernel stays available via fused=True.
+_FUSED_SSIM_VERIFIED = False
 
 
 def fused_ssim_supported(pred: jnp.ndarray) -> bool:
