@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax.numpy as jnp
 
@@ -143,7 +144,9 @@ def photometric_loss(pred: jnp.ndarray, target: jnp.ndarray,
     in-repo caller. Distillation-style uses (target = rendered teacher)
     must pass ``fused=False`` explicitly."""
     if fused is None:
-        fused = _FUSED_SSIM_VERIFIED and fused_ssim_supported(pred)
+        env = os.environ.get("H3DGS_FUSED_SSIM")  # debug/repro override
+        want = (env == "1") if env is not None else _FUSED_SSIM_VERIFIED
+        fused = want and fused_ssim_supported(pred)
     if fused:
         from ..ops.pallas_ssim import fused_photometric_loss
         return fused_photometric_loss(pred, target, lambda_dssim)
