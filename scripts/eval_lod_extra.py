@@ -21,7 +21,7 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORK = os.environ.get("CITY_WORK", "/tmp/h3dgs_city")
 W, H = (int(v) for v in os.environ.get("CITY_WH", "968x544").split("x"))
-TAUS = (0.0, 3.0, 6.0, 15.0, 24.0, 40.0, 60.0)
+TAUS = (0.0, 3.0, 6.0, 15.0, 18.0, 21.0, 24.0, 40.0, 60.0)
 
 
 def main():
