@@ -35,6 +35,8 @@ def main():
         f"{WORK}/output/scaffold/point_cloud/iteration_3000",
         "--bounds_file", f"{WORK}/camera_calibration/chunks/0_0",
         "--alpha_masks", f"{WORK}/camera_calibration/aligned/masks",
+        "--depths", f"{WORK}/camera_calibration/aligned/depths",
+        "--skybox_locked", "--disable_viewer",
         "--iterations", str(ITERS), "--skybox_num", "2000",
         "--max_entries", "4194304", "--max_per_tile", "4096",
         "--position_lr_max_steps", "3000",
