@@ -54,8 +54,15 @@ C1 = 0.01 ** 2
 C2 = 0.03 ** 2
 WIN = 11
 RAD = WIN // 2
-BH = 24          # band height (grid step rows); halo 2*RAD <= BH,
-                 # second-minor block dim must divide by 8 (Mosaic)
+import os as _os
+
+BH = int(_os.environ.get("H3DGS_SSIM_BH", 24))
+                 # band height (grid step rows); halo 2*RAD <= BH,
+                 # second-minor block dim must divide by 8 (Mosaic).
+                 # Env knob: divergence bisection (repro_ssim_nan) — a
+                 # different BH is a wholly different executable, so
+                 # "nan persists at the same iteration" discriminates
+                 # numerical-edge from miscompile.
 LPAD = 8         # image lane offset (>= RAD zeros on the left)
 
 
@@ -132,7 +139,16 @@ def _ssim_kernel(xp_ref, xc_ref, xn_ref, yp_ref, yc_ref, yn_ref,
     a1 = 2.0 * u * v + C1
     a2 = 2.0 * (r2 - u * v) + C2
     b1 = u * u + v * v + C1
-    b2 = (p2 - u * u) + (q2 - v * v) + C2
+    # True variances are >= 0, so the exact b2 is >= C2; the computed
+    # blur(x^2) - u^2 forms can cancel to ~0 (or below) once pixel
+    # magnitudes reach ~sqrt(C2/eps) ~ 10 — transient splat blow-ups
+    # mid-training get there, and 1/b2 then produces inf/nan gradients.
+    # Deterministic divergence at iter 2050 of the city chunk training,
+    # reproduced across two kernel tilings (BH 24/16:
+    # chip_logs/repro_ssim_on_*.log) — numerical, not a miscompile.
+    # Clamping at C2/2 only ever engages in that cancellation regime, so
+    # parity with the XLA formulation on sane inputs is untouched.
+    b2 = jnp.maximum((p2 - u * u) + (q2 - v * v) + C2, 0.5 * C2)
     inv_b1 = 1.0 / b1
     inv_b2 = 1.0 / b2
     inv_d = inv_b1 * inv_b2

@@ -132,11 +132,14 @@ def photometric_loss(pred: jnp.ndarray, target: jnp.ndarray,
     """(1-l)*L1 + l*(1-SSIM), the reference's photo loss (train_single.py:106-108).
 
     ``fused``: use the single-pass Pallas fwd+bwd kernel
-    (ops/pallas_ssim). None = auto: on TPU for [3,H,W] f32 images
-    taller/wider than the SSIM window, because the kernel passed its
-    on-chip A/B (loss value + full-gradient cosine + timing vs the XLA
-    path; scripts/ab_ssim.py -> chip_logs/ab_ssim_20260820T103553Z.log:
-    1.5x fwd+bwd at 1080p, grads equal to ~1e-12). CAVEAT: the fused
+    (ops/pallas_ssim). None = auto — currently resolves to the XLA path
+    everywhere: the kernel passed its standalone on-chip A/B
+    (scripts/ab_ssim.py -> chip_logs/ab_ssim_20260820T103553Z.log,
+    1.5x fwd+bwd at 1080p, grads ~1e-12) but deterministically diverges
+    in chunk training (loss=nan at iter 2050; repro_ssim_nan.py,
+    chip_logs/repro_ssim_on_*/repro_ssim_off_*), so the
+    _FUSED_SSIM_VERIFIED gate above holds it out of the defaults.
+    CAVEAT when opting in (fused=True / H3DGS_FUSED_SSIM=1): the fused
     path differentiates
     w.r.t. ``pred`` only (the target rides stop_gradient), while the XLA
     path differentiates both arguments; auto-enabling is therefore only
