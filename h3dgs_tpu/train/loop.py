@@ -503,6 +503,43 @@ def train_flat(cfg: FullConfig, scene: Scene, coarse: bool = False,
             out = step(state, opt, exposure, exp_opt, batch,
                        jnp.asarray(float(it)), bg_it, spatial_lr, extent,
                        sh_deg)
+            if os.environ.get("H3DGS_NAN_HUNT"):
+                # Divergence forensics (fused-SSIM postmortem): sync the
+                # loss every step; on the FIRST non-finite value, report
+                # which tensors are non-finite BEFORE and AFTER the
+                # update plus input stats, then stop. Slow (per-step
+                # host sync) — debug only.
+                if not np.isfinite(float(out.photo_loss)):
+                    print(f"[NAN-HUNT] it={it} image_idx="
+                          f"{int(batch.image_idx)} photo_loss="
+                          f"{float(out.photo_loss)}", flush=True)
+                    for nm, pre, post in [
+                            ("xyz", state.xyz, out.state.xyz),
+                            ("scaling", state.scaling, out.state.scaling),
+                            ("rotation", state.rotation,
+                             out.state.rotation),
+                            ("opacity", state.opacity, out.state.opacity),
+                            ("f_dc", state.f_dc, out.state.f_dc),
+                            ("f_rest", state.f_rest, out.state.f_rest)]:
+                        a = np.asarray(pre)
+                        b = np.asarray(post)
+                        fin = np.isfinite(a[np.abs(a) < np.inf]).all()
+                        print(f"  {nm}: pre finite={bool(np.isfinite(a).all())} "
+                              f"max|pre|={float(np.nanmax(np.abs(a))):.3e} "
+                              f"post finite={bool(np.isfinite(b).all())} "
+                              f"max|post|={float(np.nanmax(np.abs(b))):.3e}",
+                              flush=True)
+                        del fin
+                    gt = np.asarray(batch.gt_image)
+                    print(f"  gt: max={float(gt.max()):.3e} "
+                          f"finite={bool(np.isfinite(gt).all())}",
+                          flush=True)
+                    exp_np = np.asarray(exposure)
+                    print(f"  exposure: max|.|="
+                          f"{float(np.abs(exp_np).max()):.3e} "
+                          f"finite={bool(np.isfinite(exp_np).all())}",
+                          flush=True)
+                    raise SystemExit(17)
             state, opt = out.state, out.opt
             exposure, exp_opt = out.exposure, out.exposure_opt
             log.update(out.photo_loss, out.depth_loss)
