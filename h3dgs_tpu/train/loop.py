@@ -500,6 +500,17 @@ def train_flat(cfg: FullConfig, scene: Scene, coarse: bool = False,
                 bg_it = jax.random.uniform(k, (3,))
             else:
                 bg_it = bg
+            if os.environ.get("H3DGS_NAN_HUNT"):
+                # Pre-step stats: computed BEFORE the (donating) step.
+                pre_stats = {
+                    nm: (jnp.all(jnp.isfinite(a)), jnp.max(jnp.abs(a)))
+                    for nm, a in [
+                        ("xyz", state.xyz), ("scaling", state.scaling),
+                        ("rotation", state.rotation),
+                        ("opacity", state.opacity),
+                        ("f_dc", state.features_dc),
+                        ("f_rest", state.features_rest),
+                        ("exposure", exposure)]}
             out = step(state, opt, exposure, exp_opt, batch,
                        jnp.asarray(float(it)), bg_it, spatial_lr, extent,
                        sh_deg)
@@ -513,31 +524,23 @@ def train_flat(cfg: FullConfig, scene: Scene, coarse: bool = False,
                     print(f"[NAN-HUNT] it={it} image_idx="
                           f"{int(batch.image_idx)} photo_loss="
                           f"{float(out.photo_loss)}", flush=True)
-                    for nm, pre, post in [
-                            ("xyz", state.xyz, out.state.xyz),
-                            ("scaling", state.scaling, out.state.scaling),
-                            ("rotation", state.rotation,
-                             out.state.rotation),
-                            ("opacity", state.opacity, out.state.opacity),
-                            ("f_dc", state.f_dc, out.state.f_dc),
-                            ("f_rest", state.f_rest, out.state.f_rest)]:
-                        a = np.asarray(pre)
-                        b = np.asarray(post)
-                        fin = np.isfinite(a[np.abs(a) < np.inf]).all()
-                        print(f"  {nm}: pre finite={bool(np.isfinite(a).all())} "
-                              f"max|pre|={float(np.nanmax(np.abs(a))):.3e} "
+                    post_map = {
+                        "xyz": out.state.xyz, "scaling": out.state.scaling,
+                        "rotation": out.state.rotation,
+                        "opacity": out.state.opacity,
+                        "f_dc": out.state.features_dc,
+                        "f_rest": out.state.features_rest,
+                        "exposure": out.exposure}
+                    for nm, (fin, mx) in pre_stats.items():
+                        b = np.asarray(post_map[nm])
+                        print(f"  {nm}: pre finite={bool(fin)} "
+                              f"max|pre|={float(mx):.3e} "
                               f"post finite={bool(np.isfinite(b).all())} "
                               f"max|post|={float(np.nanmax(np.abs(b))):.3e}",
                               flush=True)
-                        del fin
                     gt = np.asarray(batch.gt_image)
                     print(f"  gt: max={float(gt.max()):.3e} "
                           f"finite={bool(np.isfinite(gt).all())}",
-                          flush=True)
-                    exp_np = np.asarray(exposure)
-                    print(f"  exposure: max|.|="
-                          f"{float(np.abs(exp_np).max()):.3e} "
-                          f"finite={bool(np.isfinite(exp_np).all())}",
                           flush=True)
                     raise SystemExit(17)
             state, opt = out.state, out.opt
