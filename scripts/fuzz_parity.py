@@ -64,11 +64,15 @@ def trial(seed: int) -> str:
         max_entries=budget, max_per_tile=int(rng.choice([64, 256])),
         chunk=16, backend="pallas", chunk_e=chunk_e, quantum=quantum,
         bwd_entries=bwd_entries,
-        bwd_chunk_e=int(rng.choice([0, quantum])),
+        # quantum < 128 requires 128-multiple grid widths (the kernels
+        # iterate whole 128-lane blocks; guard in blend_from_bins).
+        bwd_chunk_e=int(rng.choice([0, max(quantum, 128)])),
         prefix_mode=str(rng.choice(["mxu", "roll"])),
         scatter_k=int(rng.choice([0, 8])),
-        binning_fill=str(rng.choice(["gather", "cumsum"])),
-        tafter_mode=str(rng.choice(["loop", "batched"])))
+        binning_fill=str(rng.choice(["gather", "cumsum", "cumsum_t"])),
+        tafter_mode=str(rng.choice(["loop", "batched"])),
+        scatter_mode=str(rng.choice(["add", "segsum"])),
+        fwd_accumulate=bool(rng.choice([False, True])))
     xla = R.RasterizeConfig(max_entries=budget,
                             max_per_tile=cfg.max_per_tile, chunk=16,
                             backend="xla")
